@@ -1,0 +1,345 @@
+"""Exact brute-force (Flat) index.
+
+TPU-native rebuild of the reference's ``BruteForceVectorIndex``
+(ref: src/Pyrope.GarnetServer/Vector/BruteForceVectorIndex.cs): the per-row
+SIMD scan with a min-heap (:275-379) becomes one [B, N] MXU score matmul with
+fused masking and ``lax.top_k``. Matches reference semantics:
+
+- score convention L2 -> -d², IP -> dot, cosine -> normalized dot (:350-356)
+- ``max_scans`` caps scanned rows in insertion order (:288)
+- logical delete via tombstones (:224-248)
+- optional SQ8 per-vector min/max quantized storage (:25-40, 297-336) — but
+  unlike the reference (which compares raw bytes and loses the per-vector
+  scale, see docs/benchmarks/20260118_p10_14_scalar_quantization.md:38-42 in
+  the reference), the TPU path applies the exact affine decomposition
+  dot(q, x̂) = min·Σq + scale·dot(q, code), so SQ8 recall does not collapse.
+
+Host numpy arrays are the record of truth; a padded device slab (bucketed
+capacity, recompile-free growth) is synced lazily before queries.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrope_tpu.index.base import VectorIndex
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.ops.topk import masked_topk
+from pyrope_tpu.types import (
+    DEFAULT_SEARCH_OPTIONS,
+    IndexStats,
+    Metric,
+    SearchOptions,
+    SearchResult,
+)
+from pyrope_tpu.utils.shapes import batch_bucket, capacity_bucket
+
+_STORAGE_DTYPES = {"fp32": jnp.float32, "bf16": jnp.bfloat16}
+
+
+@functools.lru_cache(maxsize=None)
+def _dense_search_fn(metric: Metric, k: int, compute: str | None):
+    """Jitted masked score+top-k over a dense slab. Cache key excludes shapes
+    (jit re-specializes per shape); this cache just avoids re-tracing setup."""
+
+    cdtype = None if compute is None else jnp.dtype(compute)
+
+    @jax.jit
+    def fn(vecs, sqnorm, alive, q, max_scans):
+        scores = score_matrix(q, vecs, metric, x_sqnorm=sqnorm, compute_dtype=cdtype)
+        row = jax.lax.broadcasted_iota(jnp.int32, (vecs.shape[0], 1), 0)[:, 0]
+        mask = alive & (row < max_scans)
+        return masked_topk(scores, mask[None, :], k)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sq8_search_fn(metric: Metric, k: int, compute: str | None):
+    """Jitted SQ8 scan: int8 codes + per-vector (min, scale) affine
+    reconstruction folded into the matmul epilogue."""
+
+    cdtype = jnp.bfloat16 if compute is None else jnp.dtype(compute)
+
+    @jax.jit
+    def fn(codes, mins, scales, sqnorm, alive, q, max_scans):
+        qf = q.astype(jnp.float32)
+        raw = jnp.dot(
+            qf.astype(cdtype), codes.astype(cdtype).T,
+            preferred_element_type=jnp.float32,
+        )  # [B, cap] = dot(q, code)
+        qsum = jnp.sum(qf, axis=-1)  # Σq per query
+        dots = raw * scales[None, :] + qsum[:, None] * mins[None, :]
+        if metric == Metric.INNER_PRODUCT:
+            scores = dots
+        elif metric == Metric.L2:
+            qq = jnp.sum(qf * qf, axis=-1)
+            d2 = qq[:, None] - 2.0 * dots + sqnorm[None, :]
+            scores = -jnp.maximum(d2, 0.0)
+        else:  # COSINE
+            qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+            xn = jnp.sqrt(jnp.maximum(sqnorm, 1e-24))
+            scores = dots / jnp.maximum(qn[:, None] * xn[None, :], 1e-12)
+        row = jax.lax.broadcasted_iota(jnp.int32, (codes.shape[0], 1), 0)[:, 0]
+        mask = alive & (row < max_scans)
+        return masked_topk(scores, mask[None, :], k)
+
+    return fn
+
+
+def sq8_quantize(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-vector min/max SQ8 (ref: Vector/ScalarQuantizer.cs:22-62).
+    Returns (codes uint8 [N, D], mins [N], scales [N])."""
+    v = np.asarray(vectors, dtype=np.float32)
+    mins = v.min(axis=1)
+    maxs = v.max(axis=1)
+    scales = (maxs - mins) / 255.0
+    safe = np.where(scales > 0, scales, 1.0)
+    codes = np.clip(np.rint((v - mins[:, None]) / safe[:, None]), 0, 255)
+    return codes.astype(np.uint8), mins, np.where(scales > 0, scales, 0.0)
+
+
+class FlatIndex(VectorIndex):
+    """Exact scan index with tombstone deletes and optional SQ8 storage."""
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        storage: str = "fp32",  # fp32 | bf16 | sq8
+        compute_dtype: Optional[str] = None,
+        min_capacity: int = 1024,
+    ):
+        if storage not in ("fp32", "bf16", "sq8"):
+            raise ValueError(f"storage must be fp32|bf16|sq8, got {storage}")
+        self.dim = int(dim)
+        self.metric = Metric.parse(metric)
+        self.storage = storage
+        self.compute_dtype = compute_dtype
+        self._min_cap = min_capacity
+
+        self._cap = capacity_bucket(0, min_capacity)
+        self._vecs = np.zeros((self._cap, self.dim), np.float32)
+        self._alive = np.zeros(self._cap, bool)
+        self._row_ids: list[Optional[str]] = [None] * self._cap
+        self._id_to_row: dict[str, int] = {}
+        self._count = 0        # rows ever used (scan frontier)
+        self._live = 0         # live rows
+        self._dirty = True
+        self._dev: Optional[dict] = None
+
+    # ---- mutation -------------------------------------------------------
+
+    def _ensure_capacity(self, need: int) -> None:
+        if need <= self._cap:
+            return
+        new_cap = capacity_bucket(need, self._min_cap)
+        vecs = np.zeros((new_cap, self.dim), np.float32)
+        vecs[: self._cap] = self._vecs
+        alive = np.zeros(new_cap, bool)
+        alive[: self._cap] = self._alive
+        self._vecs, self._alive = vecs, alive
+        self._row_ids.extend([None] * (new_cap - self._cap))
+        self._cap = new_cap
+        self._dev = None  # shape changed; drop device slab
+
+    def _check_vec(self, vector: np.ndarray) -> np.ndarray:
+        v = np.asarray(vector, dtype=np.float32).reshape(-1)
+        if v.shape[0] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {v.shape[0]}")
+        return v
+
+    def add(self, id: str, vector: np.ndarray) -> bool:
+        v = self._check_vec(vector)
+        row = self._id_to_row.get(id)
+        if row is not None and self._alive[row]:
+            return False
+        if row is not None:  # revive tombstoned id in place
+            self._vecs[row] = v
+            self._alive[row] = True
+            self._live += 1
+        else:
+            self._ensure_capacity(self._count + 1)
+            row = self._count
+            self._vecs[row] = v
+            self._alive[row] = True
+            self._row_ids[row] = id
+            self._id_to_row[id] = row
+            self._count += 1
+            self._live += 1
+        self._dirty = True
+        return True
+
+    def upsert(self, id: str, vector: np.ndarray) -> None:
+        v = self._check_vec(vector)
+        row = self._id_to_row.get(id)
+        if row is None:
+            self.add(id, v)
+            return
+        if not self._alive[row]:
+            self._live += 1
+        self._vecs[row] = v
+        self._alive[row] = True
+        self._dirty = True
+
+    def delete(self, id: str) -> bool:
+        row = self._id_to_row.get(id)
+        if row is None or not self._alive[row]:
+            return False
+        self._alive[row] = False
+        self._vecs[row] = 0.0  # GC null-out (ref: BruteForceVectorIndex.cs:224-248)
+        self._live -= 1
+        self._dirty = True
+        return True
+
+    def add_batch(self, ids, vectors) -> int:
+        vecs = np.asarray(vectors, dtype=np.float32)
+        if vecs.ndim != 2 or vecs.shape[1] != self.dim:
+            raise ValueError(f"expected [N, {self.dim}] batch")
+        # Fast path: all-new ids appended contiguously.
+        new_mask = [i not in self._id_to_row for i in ids]
+        if all(new_mask) and len(set(ids)) == len(ids):
+            n = len(ids)
+            self._ensure_capacity(self._count + n)
+            s = self._count
+            self._vecs[s : s + n] = vecs
+            self._alive[s : s + n] = True
+            for off, i in enumerate(ids):
+                self._row_ids[s + off] = i
+                self._id_to_row[i] = s + off
+            self._count += n
+            self._live += n
+            self._dirty = True
+            return n
+        return super().add_batch(ids, vecs)
+
+    # ---- device sync ----------------------------------------------------
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        vf = self._vecs
+        sqnorm = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
+        alive = self._alive
+        if self.storage == "sq8":
+            codes, mins, scales = sq8_quantize(vf)
+            deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
+            sq_approx = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
+            self._dev = {
+                "codes": jnp.asarray(codes),
+                "mins": jnp.asarray(mins.astype(np.float32)),
+                "scales": jnp.asarray(scales.astype(np.float32)),
+                "sqnorm": jnp.asarray(sq_approx),
+                "alive": jnp.asarray(alive),
+            }
+        else:
+            dt = _STORAGE_DTYPES[self.storage]
+            self._dev = {
+                "vecs": jnp.asarray(vf, dtype=dt),
+                "sqnorm": jnp.asarray(sqnorm),
+                "alive": jnp.asarray(alive),
+            }
+        self._dirty = False
+        return self._dev
+
+    # ---- query ----------------------------------------------------------
+
+    def _search_device(
+        self, q: jax.Array, top_k: int, max_scans: Optional[int]
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-level query: q [B, D] -> (scores [B, k], rows [B, k]).
+        Rows are slab positions; -1 marks missing hits."""
+        dev = self._sync()
+        ms = jnp.int32(self._count if max_scans is None else min(max_scans, self._count))
+        if self.storage == "sq8":
+            fn = _sq8_search_fn(self.metric, top_k, self.compute_dtype)
+            return fn(dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
+                      dev["alive"], q, ms)
+        fn = _dense_search_fn(self.metric, top_k, self.compute_dtype)
+        return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {q.shape[1]}")
+        b = q.shape[0]
+        bb = batch_bucket(b)
+        if bb != b:
+            q = np.pad(q, ((0, bb - b), (0, 0)))
+        vals, rows = self._search_device(jnp.asarray(q), top_k, options.max_scans)
+        return self._to_results(np.asarray(vals[:b]), np.asarray(rows[:b]))
+
+    def _to_results(self, vals: np.ndarray, rows: np.ndarray) -> list[list[SearchResult]]:
+        out: list[list[SearchResult]] = []
+        for vrow, rrow in zip(vals, rows):
+            hits = []
+            for v, r in zip(vrow, rrow):
+                if r < 0 or not np.isfinite(v):
+                    continue
+                rid = self._row_ids[int(r)]
+                if rid is not None:
+                    hits.append(SearchResult(rid, float(v)))
+            out.append(hits)
+        return out
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def scan(self) -> Iterator[tuple[str, np.ndarray]]:
+        for row in range(self._count):
+            if self._alive[row] and self._row_ids[row] is not None:
+                yield self._row_ids[row], self._vecs[row].copy()
+
+    def get_stats(self) -> IndexStats:
+        return IndexStats(count=self._live, dim=self.dim, metric=self.metric)
+
+    def snapshot(self, path: str) -> None:
+        live_rows = [r for r in range(self._count) if self._alive[r]]
+        ids = np.array([self._row_ids[r] for r in live_rows], dtype=np.str_)
+        vecs = self._vecs[live_rows] if live_rows else np.zeros((0, self.dim), np.float32)
+        meta = json.dumps({
+            "format": "pyrope_tpu.flat.v1",
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "storage": self.storage,
+        })
+        np.savez_compressed(path, meta=np.str_(meta), ids=ids, vecs=vecs)
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("format") != "pyrope_tpu.flat.v1":
+                raise ValueError(f"bad snapshot format: {meta.get('format')}")
+            if int(meta["dim"]) != self.dim:
+                raise ValueError("snapshot dim mismatch")
+            ids = [str(s) for s in z["ids"]]
+            vecs = np.asarray(z["vecs"], np.float32)
+        self.__init__(self.dim, self.metric, storage=self.storage,
+                      compute_dtype=self.compute_dtype, min_capacity=self._min_cap)
+        if ids:
+            self.add_batch(ids, vecs)
+
+    # ---- internals exposed for composite indexes ------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self._cap
+
+    def live_vectors(self) -> tuple[list[str], np.ndarray]:
+        """(ids, vectors) of live rows, in insertion order."""
+        rows = [r for r in range(self._count) if self._alive[r]]
+        ids = [self._row_ids[r] for r in rows]
+        return ids, self._vecs[rows] if rows else np.zeros((0, self.dim), np.float32)

@@ -1,0 +1,90 @@
+"""Batched score kernels.
+
+The reference computes one distance per (query, row) pair in SIMD loops
+(ref: Vector/VectorMath.cs — DotProduct :8-37, L2Squared :39-70, Cosine
+:102-125, unsafe unrolled variants :128-253). On TPU the whole [B, N] score
+matrix is one MXU matmul; L2 uses the ‖q‖² + ‖x‖² − 2·q·x expansion so the
+only O(B·N·D) work is the dot-product matmul.
+
+Score convention (higher is better), matching the reference
+(ref: BruteForceVectorIndex.cs:350-356):
+    L2     -> -squared_distance
+    IP     -> dot(q, x)
+    COSINE -> dot(q, x) / (‖q‖·‖x‖)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pyrope_tpu.types import Metric
+
+
+def score_convention(metric: Metric) -> str:
+    """Human-readable score semantics for a metric."""
+    return {
+        Metric.L2: "-l2_squared",
+        Metric.INNER_PRODUCT: "dot",
+        Metric.COSINE: "cosine_similarity",
+    }[Metric.parse(metric)]
+
+
+def row_sqnorms(x: jax.Array) -> jax.Array:
+    """Per-row squared norms ‖x‖² (fp32)."""
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf * xf, axis=-1)
+
+
+def score_matrix(
+    q: jax.Array,
+    x: jax.Array,
+    metric: Metric,
+    *,
+    x_sqnorm: jax.Array | None = None,
+    compute_dtype: jnp.dtype | None = None,
+) -> jax.Array:
+    """Scores[b, n] for every query row against every corpus row.
+
+    q: [B, D], x: [N, D]. Returns [B, N] float32, higher = better.
+    ``x_sqnorm``: optional precomputed ‖x‖² [N] (fp32) — the analog of the
+    reference's precomputed norms for cosine (ref: BruteForceVectorIndex.cs
+    stores norms alongside vectors).
+    ``compute_dtype``: dtype the matmul operands are cast to (e.g. bf16 for
+    MXU throughput); accumulation is always fp32.
+    """
+    metric = Metric.parse(metric)
+    if compute_dtype is not None:
+        qm = q.astype(compute_dtype)
+        xm = x.astype(compute_dtype)
+        precision = None
+    else:
+        qm, xm = q, x
+        # On TPU a default-precision fp32 matmul runs in bf16 passes (~3e-3
+        # relative error) — unacceptable for an *exact* index. Pin full fp32.
+        precision = jax.lax.Precision.HIGHEST
+
+    dots = jnp.dot(qm, xm.T, preferred_element_type=jnp.float32, precision=precision)
+
+    if metric == Metric.INNER_PRODUCT:
+        return dots
+    if metric == Metric.L2:
+        qq = row_sqnorms(q)
+        xx = x_sqnorm if x_sqnorm is not None else row_sqnorms(x)
+        d2 = qq[:, None] - 2.0 * dots + xx[None, :]
+        # Clamp tiny negative values from cancellation so score <= 0.
+        return -jnp.maximum(d2, 0.0)
+    if metric == Metric.COSINE:
+        qn = jnp.sqrt(row_sqnorms(q))
+        xx = x_sqnorm if x_sqnorm is not None else row_sqnorms(x)
+        xn = jnp.sqrt(xx)
+        denom = jnp.maximum(qn[:, None] * xn[None, :], 1e-12)
+        return dots / denom
+    raise ValueError(f"unknown metric {metric}")
+
+
+def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """L2-normalize rows (cosine pre-normalization,
+    ref: HnswVectorIndex.cs:69-85 normalizes at insert)."""
+    n = jnp.sqrt(jnp.sum(x.astype(jnp.float32) ** 2, axis=-1, keepdims=True))
+    return (x / jnp.maximum(n, eps)).astype(x.dtype)

@@ -1,0 +1,59 @@
+"""Top-k selection and merge utilities.
+
+The reference keeps a per-query min-heap while scanning rows
+(ref: BruteForceVectorIndex.cs:291,333-334 PriorityQueue). On TPU we select
+over the whole masked score matrix with ``jax.lax.top_k``, and merge partial
+top-k sets (head/tail, per-shard) by concatenating then re-selecting.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+def masked_topk(
+    scores: jax.Array,
+    mask: jax.Array | None,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k of scores[b, n] over valid columns.
+
+    mask: [N] or [B, N] bool — True = candidate is live. Masked-out entries
+    get -inf scores (callers detect missing hits via -inf).
+    Returns (values [B, k], indices [B, k]) sorted descending.
+    """
+    if mask is not None:
+        scores = jnp.where(mask, scores, NEG_INF)
+    k_eff = min(k, scores.shape[-1])
+    vals, idx = jax.lax.top_k(scores, k_eff)
+    if k_eff < k:
+        pad = k - k_eff
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)), constant_values=-1)
+    # Invalidate indices of -inf entries so hosts can drop them.
+    idx = jnp.where(jnp.isfinite(vals), idx, -1)
+    return vals, idx
+
+
+def merge_topk(
+    vals_a: jax.Array,
+    idx_a: jax.Array,
+    vals_b: jax.Array,
+    idx_b: jax.Array,
+    k: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Merge two per-query top-k candidate sets (ids in a shared id space).
+
+    Used for Delta head+tail merge and cross-shard reduction
+    (ref: DeltaVectorIndex.cs:76-122 merge; §5.8 of SURVEY for the shard
+    all-gather merge).
+    """
+    vals = jnp.concatenate([vals_a, vals_b], axis=-1)
+    idx = jnp.concatenate([idx_a, idx_b], axis=-1)
+    mvals, pos = jax.lax.top_k(vals, min(k, vals.shape[-1]))
+    midx = jnp.take_along_axis(idx, pos, axis=-1)
+    midx = jnp.where(jnp.isfinite(mvals), midx, -1)
+    return mvals, midx

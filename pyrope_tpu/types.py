@@ -1,0 +1,134 @@
+"""Core public types.
+
+Mirrors the contract surface of the reference engine
+(ref: src/Pyrope.GarnetServer/Vector/IVectorIndex.cs:5-31,
+ Vector/SearchOptions.cs:3, Model/IndexConfig.cs:7-36).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Optional
+
+
+class Metric(str, enum.Enum):
+    """Distance metric (ref: IVectorIndex.cs VectorMetric{L2,InnerProduct,Cosine})."""
+
+    L2 = "L2"
+    INNER_PRODUCT = "IP"
+    COSINE = "COSINE"
+
+    @classmethod
+    def parse(cls, s: "str | Metric") -> "Metric":
+        if isinstance(s, Metric):
+            return s
+        t = s.strip().upper().replace("-", "_").replace(" ", "_")
+        aliases = {
+            "L2": cls.L2,
+            "EUCLIDEAN": cls.L2,
+            "IP": cls.INNER_PRODUCT,
+            "INNERPRODUCT": cls.INNER_PRODUCT,
+            "INNER_PRODUCT": cls.INNER_PRODUCT,
+            "DOT": cls.INNER_PRODUCT,
+            "COSINE": cls.COSINE,
+            "COS": cls.COSINE,
+        }
+        if t not in aliases:
+            raise ValueError(f"unknown metric: {s!r}")
+        return aliases[t]
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchOptions:
+    """Per-query knobs (ref: Vector/SearchOptions.cs:3).
+
+    max_scans: cap on number of rows scanned (exact indexes).
+    nprobe: number of IVF lists probed (default 3, ref IvfFlatVectorIndex.cs:14).
+    ef_search: HNSW beam width override.
+    """
+
+    max_scans: Optional[int] = None
+    nprobe: Optional[int] = None
+    ef_search: Optional[int] = None
+
+
+DEFAULT_SEARCH_OPTIONS = SearchOptions()
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchResult:
+    """One hit (ref: IVectorIndex.cs SearchResult(Id, Score))."""
+
+    id: str
+    score: float
+
+
+@dataclasses.dataclass(frozen=True)
+class IndexStats:
+    """Index statistics (ref: IVectorIndex.cs IndexStats(Count, Dim, Metric))."""
+
+    count: int
+    dim: int
+    metric: Metric
+
+
+@dataclasses.dataclass
+class IndexParams:
+    """Algorithm parameters (ref: Model/IndexConfig.cs params block,
+    consumed at Services/VectorIndexRegistry.cs:87-126)."""
+
+    m: int = 16                 # HNSW links / PQ subspaces (context-dependent)
+    ef_construction: int = 200  # HNSW build beam
+    ef_search: int = 10         # HNSW query beam (ref default 10)
+    nlist: int = 100            # IVF coarse lists
+    k: int = 256                # PQ sub-codebook size
+    pq_m: int = 4               # PQ subspaces (ref IVF_PQ config m=4)
+
+    @classmethod
+    def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
+        p = cls()
+        if not d:
+            return p
+        for key, val in d.items():
+            kk = key.lower()
+            if kk in ("m",):
+                p.m = int(val)
+            elif kk in ("ef_construction", "efconstruction"):
+                p.ef_construction = int(val)
+            elif kk in ("ef_search", "efsearch"):
+                p.ef_search = int(val)
+            elif kk in ("nlist", "n_list"):
+                p.nlist = int(val)
+            elif kk in ("k",):
+                p.k = int(val)
+            elif kk in ("pq_m", "pqm"):
+                p.pq_m = int(val)
+        return p
+
+
+@dataclasses.dataclass
+class IndexConfig:
+    """Per-index configuration (ref: Model/IndexConfig.cs:7-36)."""
+
+    dim: int
+    metric: Metric = Metric.L2
+    algorithm: str = "IVF_FLAT"  # FLAT | IVF_FLAT | IVF_PQ | HNSW (ref default IVF_FLAT)
+    params: IndexParams = dataclasses.field(default_factory=IndexParams)
+
+    def to_dict(self) -> dict:
+        return {
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "algorithm": self.algorithm,
+            "params": dataclasses.asdict(self.params),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IndexConfig":
+        return cls(
+            dim=int(d["dim"]),
+            metric=Metric.parse(d.get("metric", "L2")),
+            algorithm=str(d.get("algorithm", "IVF_FLAT")).upper(),
+            params=IndexParams.from_dict(d.get("params")),
+        )

@@ -1,0 +1,117 @@
+"""Benchmark datasets & ground truth.
+
+Mirrors the reference bench harness's dataset support
+(ref: src/Pyrope.Benchmarks/Program.cs:192-263 — synthetic with seeds
+42/1337, SIFT fvecs, GloVe txt; Datasets/FvecsReader.cs:14-58,
+Datasets/GloveTxtReader.cs:14-62) and adds brute-force ground truth +
+recall@k, which the reference never measures (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+BASE_SEED = 42     # ref: Program.cs synthetic base vectors seed
+QUERY_SEED = 1337  # ref: Program.cs synthetic query seed
+
+
+def synthetic(n: int, dim: int, seed: int = BASE_SEED) -> np.ndarray:
+    """Seeded uniform [0, 1) float32 vectors (ref uses Random.NextSingle)."""
+    rng = np.random.default_rng(seed)
+    return rng.random((n, dim), dtype=np.float32)
+
+
+def synthetic_queries(n: int, dim: int, seed: int = QUERY_SEED) -> np.ndarray:
+    return synthetic(n, dim, seed)
+
+
+def read_fvecs(path: str | Path, limit: int | None = None) -> np.ndarray:
+    """SIFT-style .fvecs: per record int32 dim + dim float32 LE
+    (ref: Datasets/FvecsReader.cs:14-58)."""
+    data = Path(path).read_bytes()
+    if len(data) < 4:
+        return np.zeros((0, 0), np.float32)
+    dim = struct.unpack_from("<i", data, 0)[0]
+    rec = 4 + 4 * dim
+    n = len(data) // rec
+    if limit is not None:
+        n = min(n, limit)
+    arr = np.frombuffer(data[: n * rec], dtype=np.float32).reshape(n, dim + 1)
+    # first float of each record is the bit-cast dim header
+    return np.ascontiguousarray(arr[:, 1:])
+
+
+def write_fvecs(path: str | Path, vecs: np.ndarray) -> None:
+    vecs = np.asarray(vecs, np.float32)
+    n, dim = vecs.shape
+    out = np.empty((n, dim + 1), np.float32)
+    out[:, 0] = np.frombuffer(np.full(n, dim, np.int32).tobytes(), np.float32)
+    out[:, 1:] = vecs
+    Path(path).write_bytes(out.tobytes())
+
+
+def read_glove_txt(path: str | Path, limit: int | None = None) -> tuple[list[str], np.ndarray]:
+    """GloVe txt `token v1..vN`, tolerant of malformed lines
+    (ref: Datasets/GloveTxtReader.cs:14-62)."""
+    tokens: list[str] = []
+    rows: list[np.ndarray] = []
+    dim = None
+    with open(path, "r", encoding="utf-8", errors="replace") as f:
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) < 2:
+                continue
+            try:
+                vec = np.array(parts[1:], dtype=np.float32)
+            except ValueError:
+                continue
+            if dim is None:
+                dim = vec.shape[0]
+            if vec.shape[0] != dim:
+                continue
+            tokens.append(parts[0])
+            rows.append(vec)
+            if limit is not None and len(rows) >= limit:
+                break
+    if not rows:
+        return [], np.zeros((0, 0), np.float32)
+    return tokens, np.stack(rows)
+
+
+def ground_truth(
+    base: np.ndarray, queries: np.ndarray, k: int, metric: str = "L2",
+    block: int = 4096,
+) -> np.ndarray:
+    """Exact top-k row indices per query (numpy, blocked over base rows)."""
+    from pyrope_tpu.types import Metric
+
+    m = Metric.parse(metric)
+    b = np.asarray(base, np.float64)
+    q = np.asarray(queries, np.float64)
+    if m == Metric.COSINE:
+        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    scores = np.empty((q.shape[0], b.shape[0]), np.float64)
+    for s in range(0, b.shape[0], block):
+        blk = b[s : s + block]
+        dots = q @ blk.T
+        if m == Metric.L2:
+            d2 = (q * q).sum(1)[:, None] - 2 * dots + (blk * blk).sum(1)[None, :]
+            scores[:, s : s + block] = -d2
+        else:
+            scores[:, s : s + block] = dots
+    idx = np.argpartition(-scores, kth=min(k, scores.shape[1] - 1), axis=1)[:, :k]
+    order = np.take_along_axis(scores, idx, axis=1).argsort(axis=1)[:, ::-1]
+    return np.take_along_axis(idx, order, axis=1)
+
+
+def recall_at_k(result_ids: np.ndarray, truth_ids: np.ndarray, k: int) -> float:
+    """Mean |result ∩ truth| / k over queries. Inputs: [B, >=k] int arrays
+    (use -1 padding for missing hits)."""
+    hits = 0
+    for res, tru in zip(result_ids, truth_ids):
+        hits += len(set(int(r) for r in res[:k] if r >= 0) & set(int(t) for t in tru[:k]))
+    return hits / (len(result_ids) * k)

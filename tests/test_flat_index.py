@@ -1,0 +1,167 @@
+"""FlatIndex behavior tests.
+
+Mirrors the reference suite Vector/BruteForceVectorIndexTests.cs +
+Vector/VectorMathTests.cs (SIMD-vs-scalar agreement becomes TPU-vs-numpy
+agreement) and Vector/ScalarQuantizerTests.cs.
+"""
+
+import numpy as np
+import pytest
+
+from pyrope_tpu import FlatIndex, Metric, SearchOptions
+from pyrope_tpu.utils.datasets import ground_truth, recall_at_k, synthetic
+
+
+def make_index(metric=Metric.L2, n=50, dim=8, seed=0, **kw):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    idx = FlatIndex(dim, metric, **kw)
+    idx.add_batch([f"v{i}" for i in range(n)], vecs)
+    return idx, vecs
+
+
+def test_exact_match_is_top_hit_l2():
+    idx, vecs = make_index()
+    hits = idx.search(vecs[7], 5)
+    assert hits[0].id == "v7"
+    assert hits[0].score == pytest.approx(0.0, abs=1e-3)
+
+
+def test_scores_match_numpy_l2():
+    idx, vecs = make_index(n=40, dim=16)
+    q = np.random.default_rng(1).normal(size=16).astype(np.float32)
+    hits = idx.search(q, 10)
+    d2 = ((vecs - q) ** 2).sum(axis=1)
+    order = np.argsort(d2)[:10]
+    assert [h.id for h in hits] == [f"v{i}" for i in order]
+    for h, i in zip(hits, order):
+        # expansion-form L2 in fp32 carries ~1e-3 relative cancellation error
+        assert h.score == pytest.approx(-float(d2[i]), rel=2e-3, abs=2e-3)
+
+
+def test_inner_product_ordering():
+    idx, vecs = make_index(metric=Metric.INNER_PRODUCT)
+    q = vecs[3]
+    hits = idx.search(q, 50)
+    dots = vecs @ q
+    order = np.argsort(-dots)
+    assert [h.id for h in hits] == [f"v{i}" for i in order]
+
+
+def test_cosine_scores():
+    idx, vecs = make_index(metric=Metric.COSINE, n=30, dim=12)
+    q = np.random.default_rng(2).normal(size=12).astype(np.float32)
+    hits = idx.search(q, 5)
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = np.argsort(-cos)[:5]
+    assert hits[0].id == f"v{order[0]}"
+    fifth_best = cos[order[-1]]
+    for h in hits:
+        # each hit's score must match its own true cosine and be >= the true
+        # 5th-best (ties at fp32 may swap near-equal candidates)
+        assert h.score == pytest.approx(float(cos[int(h.id[1:])]), abs=1e-4)
+        assert h.score >= fifth_best - 1e-4
+
+
+def test_add_duplicate_returns_false():
+    idx, vecs = make_index()
+    assert idx.add("v0", vecs[0]) is False
+    assert idx.get_stats().count == 50
+
+
+def test_upsert_overwrites():
+    idx, vecs = make_index()
+    target = np.full(8, 9.0, np.float32)
+    idx.upsert("v5", target)
+    hits = idx.search(target, 1)
+    assert hits[0].id == "v5"
+
+
+def test_delete_hides_vector_and_readd_revives():
+    idx, vecs = make_index()
+    assert idx.delete("v7")
+    assert not idx.delete("v7")  # already gone
+    hits = idx.search(vecs[7], 5)
+    assert all(h.id != "v7" for h in hits)
+    assert idx.get_stats().count == 49
+    assert idx.add("v7", vecs[7])
+    hits = idx.search(vecs[7], 1)
+    assert hits[0].id == "v7"
+
+
+def test_max_scans_limits_rows_in_insertion_order():
+    idx, vecs = make_index(n=50)
+    # query equals row 40; with max_scans=10 only rows 0-9 are scanned
+    hits = idx.search(vecs[40], 3, SearchOptions(max_scans=10))
+    assert all(int(h.id[1:]) < 10 for h in hits)
+
+
+def test_search_batch_matches_single():
+    idx, vecs = make_index(n=64, dim=8)
+    q = vecs[:5] + 0.01
+    batch = idx.search_batch(q, 4)
+    for i in range(5):
+        single = idx.search(q[i], 4)
+        assert [h.id for h in batch[i]] == [h.id for h in single]
+
+
+def test_topk_larger_than_count():
+    idx = FlatIndex(4)
+    idx.add("a", np.ones(4, np.float32))
+    idx.add("b", np.zeros(4, np.float32))
+    hits = idx.search(np.ones(4, np.float32), 10)
+    assert len(hits) == 2
+    assert hits[0].id == "a"
+
+
+def test_dim_mismatch_raises():
+    idx = FlatIndex(8)
+    with pytest.raises(ValueError):
+        idx.add("a", np.ones(4, np.float32))
+    with pytest.raises(ValueError):
+        idx.search(np.ones(3, np.float32), 1)
+
+
+def test_capacity_growth_preserves_data():
+    idx = FlatIndex(4, min_capacity=8)
+    n = 100
+    vecs = synthetic(n, 4)
+    idx.add_batch([str(i) for i in range(n)], vecs)
+    assert idx.get_stats().count == n
+    hits = idx.search(vecs[77], 1)
+    assert hits[0].id == "77"
+
+
+def test_snapshot_load_roundtrip(tmp_path):
+    idx, vecs = make_index(n=30, dim=8)
+    idx.delete("v3")
+    path = str(tmp_path / "flat.npz")
+    idx.snapshot(path)
+    fresh = FlatIndex(8)
+    fresh.load(path)
+    assert fresh.get_stats().count == 29
+    hits = fresh.search(vecs[4], 1)
+    assert hits[0].id == "v4"
+    assert all(h.id != "v3" for h in fresh.search(vecs[3], 30))
+
+
+def test_sq8_recall_close_to_exact():
+    base = synthetic(2000, 32)
+    queries = synthetic(20, 32, seed=7)
+    idx = FlatIndex(32, storage="sq8")
+    idx.add_batch([str(i) for i in range(2000)], base)
+    truth = ground_truth(base, queries, 10, "L2")
+    res = idx.search_batch(queries, 10)
+    ids = np.array([[int(h.id) for h in hits] + [-1] * (10 - len(hits)) for hits in res])
+    # proper affine SQ8 should stay near-exact (reference's byte-compare trick
+    # loses recall; ours must not)
+    assert recall_at_k(ids, truth, 10) >= 0.9
+
+
+def test_scan_exports_live_entries():
+    idx, vecs = make_index(n=10)
+    idx.delete("v2")
+    entries = dict(idx.scan())
+    assert len(entries) == 9
+    assert "v2" not in entries
+    np.testing.assert_allclose(entries["v5"], vecs[5])
