@@ -1,0 +1,367 @@
+"""IVF-Flat index: coarse k-means + exact scans of probed inverted lists.
+
+Rebuild of the reference's ``IvfFlatVectorIndex``
+(ref: src/Pyrope.GarnetServer/Vector/IvfFlatVectorIndex.cs):
+
+- pre-build writes land in a mutable buffer, searched exactly (:17,39-54,
+  :170-180); here the buffer is a FlatIndex
+- ``build()`` merges main + buffer, runs k-means (k = min(nlist, N), seed 42)
+  and assigns rows to inverted lists (:85-145)
+- query ranks all centroids, probes the top ``nprobe`` (default 3,
+  ``CombineNProbe`` :14) lists, honors ``max_scans``/``nprobe`` overrides
+  (:151-158, 183-219)
+- exposes centroids post-build (:314-325, ICentroidsProvider)
+
+TPU layout: rows are permuted cluster-major into one contiguous slab (CSR:
+offsets + lengths), so probing a list is a *contiguous* dynamic-slice (pure
+DMA, no row gather). Each probe step is a [B, L_pad] batched score kernel
+with a running top-k merge. Invariant: an id lives either in the built main
+slab or in the buffer, never both (upsert tombstones the main row first), so
+merges need no dedup.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
+from pyrope_tpu.index.flat import FlatIndex
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
+from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.types import (
+    DEFAULT_SEARCH_OPTIONS,
+    IndexStats,
+    Metric,
+    SearchOptions,
+    SearchResult,
+)
+from pyrope_tpu.utils.shapes import batch_bucket, round_up
+
+DEFAULT_NPROBE = 3  # ref: IvfFlatVectorIndex.cs:14 CombineNProbe = 3
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str | None):
+    cdtype = None if compute is None else jnp.dtype(compute)
+    prec = jax.lax.Precision.HIGHEST if compute is None else None
+
+    @jax.jit
+    def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, max_scans):
+        b = q.shape[0]
+        qf = q.astype(jnp.float32)
+        cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
+        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
+        _, probe = jax.lax.top_k(cscores, nprobe)        # [B, nprobe]
+        lens_p = lens[probe]                              # [B, nprobe]
+        offs_p = offsets[probe]
+        before = jnp.cumsum(lens_p, axis=1) - lens_p      # rows scanned earlier
+        budget = jnp.maximum(max_scans - before, 0)
+        eff = jnp.minimum(lens_p, budget)                 # ref: break at MaxScans
+
+        qq = jnp.sum(qf * qf, axis=-1)                    # [B]
+        qn = jnp.sqrt(jnp.maximum(qq, 1e-24))
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+
+        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+        gidx = jnp.full((b, k), -1, jnp.int32)
+
+        for p in range(nprobe):
+            off = offs_p[:, p]
+            blocks = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(xperm, (o, 0), (l_pad, xperm.shape[1]))
+            )(off)                                         # [B, L_pad, D]
+            sq = jax.vmap(lambda o: jax.lax.dynamic_slice(sqnorm, (o,), (l_pad,)))(off)
+            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
+            if cdtype is not None:
+                dots = jnp.einsum(
+                    "bld,bd->bl", blocks.astype(cdtype), q.astype(cdtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dots = jnp.einsum(
+                    "bld,bd->bl", blocks, qf,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+            if metric == Metric.L2:
+                scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+            elif metric == Metric.INNER_PRODUCT:
+                scores = dots
+            else:  # COSINE
+                xn = jnp.sqrt(jnp.maximum(sq, 1e-24))
+                scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
+            mask = (j < eff[:, p : p + 1]) & alv
+            svals = jnp.where(mask, scores, -jnp.inf)
+            rows = off[:, None] + j
+            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+        return vals, gidx
+
+    return fn
+
+
+class IvfFlatIndex(VectorIndex, CentroidsProvider):
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        nlist: int = 100,  # ref default nlist 100
+        nprobe: int = DEFAULT_NPROBE,
+        compute_dtype: Optional[str] = None,
+        seed: int = 42,    # ref: IvfFlatVectorIndex k-means seed 42
+    ):
+        self.dim = int(dim)
+        self.metric = Metric.parse(metric)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.compute_dtype = compute_dtype
+        self.seed = seed
+
+        self._buffer = FlatIndex(dim, self.metric, compute_dtype=compute_dtype)
+        # built main slab (host truth)
+        self._built = False
+        self._centroids: Optional[np.ndarray] = None   # [K, D]
+        self._xperm = np.zeros((0, self.dim), np.float32)
+        self._perm_ids: list[str] = []
+        self._main_pos: dict[str, int] = {}
+        self._alive = np.zeros(0, bool)
+        self._offsets = np.zeros(0, np.int32)
+        self._lens = np.zeros(0, np.int32)
+        self._main_live = 0
+        self._dirty = True
+        self._dev: Optional[dict] = None
+
+    # ---- mutation -------------------------------------------------------
+
+    def add(self, id: str, vector: np.ndarray) -> bool:
+        row = self._main_pos.get(id)
+        if row is not None and self._alive[row]:
+            return False
+        return self._buffer.add(id, vector)
+
+    def upsert(self, id: str, vector: np.ndarray) -> None:
+        row = self._main_pos.get(id)
+        if row is not None and self._alive[row]:
+            self._alive[row] = False  # main copy superseded by buffer copy
+            self._main_live -= 1
+            self._dirty = True
+        self._buffer.upsert(id, vector)
+
+    def delete(self, id: str) -> bool:
+        if self._buffer.delete(id):
+            return True
+        row = self._main_pos.get(id)
+        if row is None or not self._alive[row]:
+            return False
+        self._alive[row] = False
+        self._main_live -= 1
+        self._dirty = True
+        return True
+
+    def add_batch(self, ids, vectors) -> int:
+        if not self._built and not self._main_pos:
+            return self._buffer.add_batch(ids, vectors)
+        return super().add_batch(ids, vectors)
+
+    # ---- build ----------------------------------------------------------
+
+    def build(self) -> None:
+        """Merge main + buffer, retrain k-means, re-bucket
+        (ref: IvfFlatVectorIndex.cs:85-145)."""
+        ids: list[str] = []
+        rows: list[np.ndarray] = []
+        main_live_rows = [r for r in range(len(self._perm_ids)) if self._alive[r]]
+        if main_live_rows:
+            ids.extend(self._perm_ids[r] for r in main_live_rows)
+            rows.append(self._xperm[main_live_rows])
+        bids, bvecs = self._buffer.live_vectors()
+        if bids:
+            ids.extend(bids)
+            rows.append(bvecs)
+        if not ids:
+            return
+        x = np.concatenate(rows) if len(rows) > 1 else rows[0]
+        n = x.shape[0]
+        k = min(self.nlist, n)
+
+        cents = kmeans_train(
+            x, k, self.metric, seed=self.seed, compute_dtype=self.compute_dtype
+        )
+        assign = kmeans_assign(x, cents, self.metric, compute_dtype=self.compute_dtype)
+
+        order = np.argsort(assign, kind="stable")
+        self._xperm = np.ascontiguousarray(x[order])
+        self._perm_ids = [ids[i] for i in order]
+        self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+        self._alive = np.ones(n, bool)
+        self._lens = np.bincount(assign, minlength=k).astype(np.int32)
+        self._offsets = np.concatenate([[0], np.cumsum(self._lens)[:-1]]).astype(np.int32)
+        self._centroids = cents[:k]
+        self._main_live = n
+        self._built = True
+        self._buffer = FlatIndex(self.dim, self.metric, compute_dtype=self.compute_dtype)
+        self._dirty = True
+        self._dev = None
+
+    def get_centroids(self) -> Optional[np.ndarray]:
+        return None if self._centroids is None else self._centroids.copy()
+
+    # ---- query ----------------------------------------------------------
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        k = self._lens.shape[0]
+        kpad = round_up(max(k, 1), 8)
+        l_pad = int(round_up(max(int(self._lens.max()) if k else 1, 1), 128))
+        n = self._xperm.shape[0]
+        npad = round_up(n, 8) + l_pad  # tail pad so every slice stays in range
+        xp = np.zeros((npad, self.dim), np.float32)
+        xp[:n] = self._xperm
+        sq = np.zeros(npad, np.float32)
+        sq[:n] = np.einsum("nd,nd->n", self._xperm, self._xperm)
+        alive = np.zeros(npad, bool)
+        alive[:n] = self._alive
+        cents = np.zeros((kpad, self.dim), np.float32)
+        cvalid = np.zeros(kpad, bool)
+        if self._centroids is not None:
+            cents[:k] = self._centroids
+            cvalid[:k] = True
+        offs = np.zeros(kpad, np.int32)
+        lens = np.zeros(kpad, np.int32)
+        offs[:k] = self._offsets
+        lens[:k] = self._lens
+        self._dev = {
+            "cents": jnp.asarray(cents),
+            "cvalid": jnp.asarray(cvalid),
+            "xperm": jnp.asarray(xp),
+            "sqnorm": jnp.asarray(sq),
+            "alive": jnp.asarray(alive),
+            "offsets": jnp.asarray(offs),
+            "lens": jnp.asarray(lens),
+            "l_pad": l_pad,
+            "k_actual": k,
+        }
+        self._dirty = False
+        return self._dev
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {q.shape[1]}")
+        b = q.shape[0]
+
+        # exact scan of the mutable buffer (ref :170-180)
+        buf_hits = (
+            self._buffer.search_batch(q, top_k, options)
+            if self._buffer.get_stats().count
+            else [[] for _ in range(b)]
+        )
+        if not self._built or self._main_live == 0:
+            return buf_hits
+
+        dev = self._sync()
+        nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
+        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
+        bb = batch_bucket(b)
+        qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
+        fn = _ivf_search_fn(self.metric, top_k, nprobe, dev["l_pad"], self.compute_dtype)
+        vals, rows = fn(
+            dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"], dev["alive"],
+            dev["offsets"], dev["lens"], jnp.asarray(qp), jnp.int32(ms),
+        )
+        vals = np.asarray(vals[:b])
+        rows = np.asarray(rows[:b])
+
+        out: list[list[SearchResult]] = []
+        for bi in range(b):
+            hits = list(buf_hits[bi])
+            for v, r in zip(vals[bi], rows[bi]):
+                if r < 0 or not np.isfinite(v):
+                    continue
+                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+            hits.sort(key=lambda h: -h.score)
+            out.append(hits[:top_k])
+        return out
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def scan(self) -> Iterator[tuple[str, np.ndarray]]:
+        for r, pid in enumerate(self._perm_ids):
+            if self._alive[r]:
+                yield pid, self._xperm[r].copy()
+        yield from self._buffer.scan()
+
+    def get_stats(self) -> IndexStats:
+        return IndexStats(
+            count=self._main_live + self._buffer.get_stats().count,
+            dim=self.dim,
+            metric=self.metric,
+        )
+
+    def snapshot(self, path: str) -> None:
+        """Full-state snapshot: centroids + permuted slab + lists + buffer
+        (ref: IvfFlatVectorIndex.cs:233-298 JSON snapshot — here one npz)."""
+        bids, bvecs = self._buffer.live_vectors()
+        meta = json.dumps({
+            "format": "pyrope_tpu.ivf_flat.v1",
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "built": self._built,
+            "seed": self.seed,
+        })
+        np.savez_compressed(
+            path,
+            meta=np.str_(meta),
+            centroids=self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
+            xperm=self._xperm,
+            perm_ids=np.array(self._perm_ids, dtype=np.str_),
+            alive=self._alive,
+            offsets=self._offsets,
+            lens=self._lens,
+            buf_ids=np.array(bids, dtype=np.str_),
+            buf_vecs=bvecs,
+        )
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("format") != "pyrope_tpu.ivf_flat.v1":
+                raise ValueError(f"bad snapshot format: {meta.get('format')}")
+            if int(meta["dim"]) != self.dim:
+                raise ValueError("snapshot dim mismatch")
+            self.metric = Metric.parse(meta["metric"])
+            self.nlist = int(meta["nlist"])
+            self.nprobe = int(meta["nprobe"])
+            self.seed = int(meta.get("seed", 42))
+            self._built = bool(meta["built"])
+            cents = np.asarray(z["centroids"], np.float32)
+            self._centroids = cents if cents.size else None
+            self._xperm = np.asarray(z["xperm"], np.float32)
+            self._perm_ids = [str(s) for s in z["perm_ids"]]
+            self._alive = np.asarray(z["alive"], bool)
+            self._offsets = np.asarray(z["offsets"], np.int32)
+            self._lens = np.asarray(z["lens"], np.int32)
+            self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+            self._main_live = int(self._alive.sum())
+            self._buffer = FlatIndex(self.dim, self.metric, compute_dtype=self.compute_dtype)
+            bids = [str(s) for s in z["buf_ids"]]
+            if bids:
+                self._buffer.add_batch(bids, np.asarray(z["buf_vecs"], np.float32))
+        self._dirty = True
+        self._dev = None

@@ -1,0 +1,128 @@
+"""Lloyd's k-means, jitted for TPU.
+
+Rebuild of the reference's ``KMeansUtils`` (ref: Vector/KMeansUtils.cs:10-93:
+random-sample init, ≤10 iterations, parallel assignment, metric-aware nearest
+centroid). On TPU the per-iteration assignment is one [N, K] score matmul +
+argmax, and the centroid update is a one-hot-transpose matmul (segment-sum on
+the MXU) — SURVEY §3.3: "on TPU this is one argmin(‖X−C‖²) matmul per
+iteration". Blocked over N so the one-hot never exceeds a fixed footprint.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.types import Metric
+from pyrope_tpu.utils.shapes import round_up
+
+DEFAULT_ITERS = 10  # ref: KMeansUtils.cs ≤10 iterations
+
+
+def _pad_rows(x: np.ndarray, mult: int = 8) -> tuple[np.ndarray, int]:
+    n = x.shape[0]
+    npad = round_up(max(n, 1), mult)
+    if npad != n:
+        x = np.pad(x, ((0, npad - n), (0, 0)))
+    return x, n
+
+
+@functools.partial(
+    jax.jit, static_argnames=("metric", "iters", "block", "compute")
+)
+def _lloyd(x, valid, cents, *, metric: Metric, iters: int, block: int, compute):
+    """x [Npad, D], valid [Npad] bool, cents [K, D] -> final centroids."""
+    npad, d = x.shape
+    k = cents.shape[0]
+    nblocks = npad // block
+    xb = x.reshape(nblocks, block, d)
+    vb = valid.reshape(nblocks, block)
+
+    def one_iter(cents, _):
+        def per_block(carry, inp):
+            sums, counts = carry
+            xblk, vblk = inp
+            scores = score_matrix(xblk, cents, metric, compute_dtype=compute)
+            assign = jnp.argmax(scores, axis=1)
+            onehot = (
+                (assign[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1))
+                & vblk[:, None]
+            ).astype(jnp.float32)
+            sums = sums + jnp.dot(
+                onehot.T, xblk.astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            counts = counts + jnp.sum(onehot, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            per_block,
+            (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32)),
+            (xb, vb),
+        )
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        # empty cluster keeps its previous centroid (ref keeps old centroid)
+        new = jnp.where(counts[:, None] > 0, new, cents)
+        return new, None
+
+    cents, _ = jax.lax.scan(one_iter, cents, None, length=iters)
+    return cents
+
+
+def kmeans_train(
+    data: np.ndarray,
+    k: int,
+    metric: Metric | str = Metric.L2,
+    *,
+    iters: int = DEFAULT_ITERS,
+    seed: int = 42,  # ref: IVF-Flat coarse seed 42; IVF-PQ coarse 123; PQ subspace 42+m
+    block: int = 65536,
+    compute_dtype: str | None = None,
+) -> np.ndarray:
+    """Train k centroids. Returns [k, D] float32 (k clipped to N)."""
+    metric = Metric.parse(metric)
+    data = np.asarray(data, np.float32)
+    n = data.shape[0]
+    if n == 0:
+        raise ValueError("kmeans on empty data")
+    k = min(k, n)  # ref: IvfFlatVectorIndex.cs k = min(nList, N)
+    rng = np.random.default_rng(seed)
+    init_rows = rng.choice(n, size=k, replace=False)
+    cents = data[init_rows].copy()
+
+    block = min(block, round_up(n, 8))
+    xpad, _ = _pad_rows(data, block)
+    valid = np.zeros(xpad.shape[0], bool)
+    valid[:n] = True
+
+    out = _lloyd(
+        jnp.asarray(xpad), jnp.asarray(valid), jnp.asarray(cents),
+        metric=metric, iters=iters, block=block, compute=compute_dtype,
+    )
+    return np.asarray(out)
+
+
+def kmeans_assign(
+    data: np.ndarray,
+    centroids: np.ndarray,
+    metric: Metric | str = Metric.L2,
+    *,
+    block: int = 65536,
+    compute_dtype: str | None = None,
+) -> np.ndarray:
+    """Nearest-centroid id per row (ref: KMeansUtils.FindNearestCentroid
+    :70-93, honoring the metric). Returns int32 [N]."""
+    metric = Metric.parse(metric)
+    data = np.asarray(data, np.float32)
+    cents = jnp.asarray(np.asarray(centroids, np.float32))
+    outs = []
+    compute = None if compute_dtype is None else compute_dtype
+    for s in range(0, data.shape[0], block):
+        blk = jnp.asarray(data[s : s + block])
+        scores = score_matrix(blk, cents, metric, compute_dtype=compute)
+        outs.append(np.asarray(jnp.argmax(scores, axis=1), np.int32))
+    return np.concatenate(outs) if outs else np.zeros(0, np.int32)
