@@ -1,0 +1,386 @@
+"""IVF-PQ index: coarse quantizer + product-quantized residuals with ADC.
+
+Rebuild of the reference's ``IvfPqVectorIndex``
+(ref: src/Pyrope.GarnetServer/Vector/IvfPqVectorIndex.cs):
+
+- ``build()``: coarse k-means (seed 123, :67-70), residuals r = v − c
+  (:73-86), PQ trained on residuals (:89), encode into inverted lists
+  (:92-107)
+- ``search``: exact buffer scan (:129-136), rank centroids (:140-148), per
+  probed list compute the residual-query ADC table and score
+  −Σ_m table[m][code[m]] (:152-199)
+- reference gaps closed here: main-slab deletes are tombstoned (ref deletes
+  only from the buffer, TODO at :48-53) and snapshot/load are implemented
+  (ref stubs at :228-230; SURVEY §5.4 flags this gap).
+
+TPU layout: codes live cluster-major in a contiguous [N_pad, M] uint8 slab
+(CSR offsets + lens); probing a list is a contiguous dynamic-slice; the ADC
+table is one einsum and accumulation is a flat take_along_axis gather.
+HBM holds only codes + centroids + codebooks (the memory-parity state); raw
+fp32 rows are retained host-side for rebuild/compaction.
+
+Metrics: L2 exact-ADC (‖q−x̂‖² = ‖q_res−r̂‖²); IP via q·c + q·r̂ (the dot
+table is probe-independent); COSINE = IP over pre-normalized rows and
+queries.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
+from pyrope_tpu.index.flat import FlatIndex
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
+from pyrope_tpu.ops.pq import ProductQuantizer, adc_accumulate, adc_ip_table, adc_l2_table
+from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.types import (
+    DEFAULT_SEARCH_OPTIONS,
+    IndexStats,
+    Metric,
+    SearchOptions,
+    SearchResult,
+)
+from pyrope_tpu.utils.shapes import batch_bucket, round_up
+
+COARSE_SEED = 123  # ref: IvfPqVectorIndex.cs:67-70 coarse k-means seed 123
+DEFAULT_NPROBE = 3
+
+
+@functools.lru_cache(maxsize=None)
+def _ivfpq_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int):
+    @jax.jit
+    def fn(cents, cvalid, codes_perm, alive, offsets, lens, codebooks, q, max_scans):
+        b = q.shape[0]
+        m = codes_perm.shape[1]
+        cscores = score_matrix(q, cents, metric)
+        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
+        _, probe = jax.lax.top_k(cscores, nprobe)      # [B, nprobe]
+        lens_p = lens[probe]
+        offs_p = offsets[probe]
+        before = jnp.cumsum(lens_p, axis=1) - lens_p
+        budget = jnp.maximum(max_scans - before, 0)
+        eff = jnp.minimum(lens_p, budget)
+
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+        gidx = jnp.full((b, k), -1, jnp.int32)
+
+        if metric != Metric.L2:
+            # dot table is residual-free: q·r̂ uses the same table per probe
+            ip_table = adc_ip_table(q, codebooks)       # [B, M, ksub]
+            qdotc = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+
+        for p in range(nprobe):
+            c_ids = probe[:, p]
+            off = offs_p[:, p]
+            blocks = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(codes_perm, (o, 0), (l_pad, m))
+            )(off)                                      # [B, L_pad, M] uint8
+            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
+            if metric == Metric.L2:
+                cent_p = cents[c_ids]                   # [B, D]
+                table = adc_l2_table(q - cent_p, codebooks)
+                scores = -adc_accumulate(table, blocks)  # score = −Σ table (ref :182-198)
+            else:
+                adc = adc_accumulate(ip_table, blocks)
+                base = jnp.take_along_axis(qdotc, c_ids[:, None], axis=1)  # q·c
+                scores = base + adc
+            mask = (j < eff[:, p : p + 1]) & alv
+            svals = jnp.where(mask, scores, -jnp.inf)
+            rows = off[:, None] + j
+            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+        return vals, gidx
+
+    return fn
+
+
+class IvfPqIndex(VectorIndex, CentroidsProvider):
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        nlist: int = 100,   # ref config nlist=100
+        pq_m: int = 4,      # ref config m=4
+        ksub: int = 256,    # ref config k=256
+        nprobe: int = DEFAULT_NPROBE,
+        seed: int = COARSE_SEED,
+    ):
+        self.dim = int(dim)
+        self.metric = Metric.parse(metric)
+        self.nlist = int(nlist)
+        self.nprobe = int(nprobe)
+        self.seed = seed
+        self.pq = ProductQuantizer(m=int(pq_m), ksub=int(ksub), dim=self.dim)
+
+        self._buffer = FlatIndex(dim, self.metric)
+        self._built = False
+        self._centroids: Optional[np.ndarray] = None
+        self._xperm = np.zeros((0, self.dim), np.float32)  # host-only raw rows
+        self._codes = np.zeros((0, self.pq.m), np.uint8)
+        self._perm_ids: list[str] = []
+        self._main_pos: dict[str, int] = {}
+        self._alive = np.zeros(0, bool)
+        self._offsets = np.zeros(0, np.int32)
+        self._lens = np.zeros(0, np.int32)
+        self._main_live = 0
+        self._dirty = True
+        self._dev: Optional[dict] = None
+
+    # ---- mutation (same buffer-first discipline as IVF-Flat) -------------
+
+    def add(self, id: str, vector: np.ndarray) -> bool:
+        row = self._main_pos.get(id)
+        if row is not None and self._alive[row]:
+            return False
+        return self._buffer.add(id, vector)
+
+    def upsert(self, id: str, vector: np.ndarray) -> None:
+        row = self._main_pos.get(id)
+        if row is not None and self._alive[row]:
+            self._alive[row] = False
+            self._main_live -= 1
+            self._dirty = True
+        self._buffer.upsert(id, vector)
+
+    def delete(self, id: str) -> bool:
+        if self._buffer.delete(id):
+            return True
+        row = self._main_pos.get(id)
+        if row is None or not self._alive[row]:
+            return False
+        self._alive[row] = False
+        self._main_live -= 1
+        self._dirty = True
+        return True
+
+    def add_batch(self, ids, vectors) -> int:
+        if not self._built and not self._main_pos:
+            return self._buffer.add_batch(ids, vectors)
+        return super().add_batch(ids, vectors)
+
+    # ---- build ----------------------------------------------------------
+
+    def _normalize(self, x: np.ndarray) -> np.ndarray:
+        if self.metric != Metric.COSINE:
+            return x
+        n = np.linalg.norm(x, axis=-1, keepdims=True)
+        return (x / np.maximum(n, 1e-12)).astype(np.float32)
+
+    def build(self) -> None:
+        ids: list[str] = []
+        rows: list[np.ndarray] = []
+        main_live = [r for r in range(len(self._perm_ids)) if self._alive[r]]
+        if main_live:
+            ids.extend(self._perm_ids[r] for r in main_live)
+            rows.append(self._xperm[main_live])
+        bids, bvecs = self._buffer.live_vectors()
+        if bids:
+            ids.extend(bids)
+            rows.append(self._normalize(bvecs))
+        if not ids:
+            return
+        x = np.concatenate(rows) if len(rows) > 1 else rows[0]
+        n = x.shape[0]
+        kc = min(self.nlist, n)
+
+        metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        cents = kmeans_train(x, kc, metric, seed=self.seed)
+        assign = kmeans_assign(x, cents, metric)
+        residuals = x - cents[assign]                  # ref :73-86
+        self.pq.train(residuals, seed=42)              # ref PQ seed 42+m
+        codes = self.pq.encode(residuals)
+
+        order = np.argsort(assign, kind="stable")
+        self._xperm = np.ascontiguousarray(x[order])
+        self._codes = np.ascontiguousarray(codes[order])
+        self._perm_ids = [ids[i] for i in order]
+        self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+        self._alive = np.ones(n, bool)
+        self._lens = np.bincount(assign, minlength=kc).astype(np.int32)
+        self._offsets = np.concatenate([[0], np.cumsum(self._lens)[:-1]]).astype(np.int32)
+        self._centroids = cents[:kc]
+        self._main_live = n
+        self._built = True
+        self._buffer = FlatIndex(self.dim, self.metric)
+        self._dirty = True
+        self._dev = None
+
+    def get_centroids(self) -> Optional[np.ndarray]:
+        return None if self._centroids is None else self._centroids.copy()
+
+    # ---- query ----------------------------------------------------------
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        kc = self._lens.shape[0]
+        kpad = round_up(max(kc, 1), 8)
+        l_pad = int(round_up(max(int(self._lens.max()) if kc else 1, 1), 128))
+        n = self._codes.shape[0]
+        npad = round_up(n, 8) + l_pad
+        codes = np.zeros((npad, self.pq.m), np.uint8)
+        codes[:n] = self._codes
+        alive = np.zeros(npad, bool)
+        alive[:n] = self._alive
+        cents = np.zeros((kpad, self.dim), np.float32)
+        cvalid = np.zeros(kpad, bool)
+        if self._centroids is not None:
+            cents[:kc] = self._centroids
+            cvalid[:kc] = True
+        offs = np.zeros(kpad, np.int32)
+        lens = np.zeros(kpad, np.int32)
+        offs[:kc] = self._offsets
+        lens[:kc] = self._lens
+        self._dev = {
+            "cents": jnp.asarray(cents),
+            "cvalid": jnp.asarray(cvalid),
+            "codes": jnp.asarray(codes),
+            "alive": jnp.asarray(alive),
+            "offsets": jnp.asarray(offs),
+            "lens": jnp.asarray(lens),
+            "codebooks": jnp.asarray(self.pq.codebooks),
+            "l_pad": l_pad,
+            "k_actual": kc,
+        }
+        self._dirty = False
+        return self._dev
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {q.shape[1]}")
+        b = q.shape[0]
+
+        buf_hits = (
+            self._buffer.search_batch(q, top_k, options)
+            if self._buffer.get_stats().count
+            else [[] for _ in range(b)]
+        )
+        if not self._built or self._main_live == 0:
+            return buf_hits
+
+        dev = self._sync()
+        nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
+        ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
+        qq = self._normalize(q) if self.metric == Metric.COSINE else q
+        search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        bb = batch_bucket(b)
+        qp = np.pad(qq, ((0, bb - b), (0, 0))) if bb != b else qq
+        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"])
+        vals, rows = fn(
+            dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
+            dev["offsets"], dev["lens"], dev["codebooks"],
+            jnp.asarray(qp), jnp.int32(ms),
+        )
+        vals = np.asarray(vals[:b])
+        rows = np.asarray(rows[:b])
+
+        out: list[list[SearchResult]] = []
+        for bi in range(b):
+            hits = list(buf_hits[bi])
+            for v, r in zip(vals[bi], rows[bi]):
+                if r < 0 or not np.isfinite(v):
+                    continue
+                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+            hits.sort(key=lambda h: -h.score)
+            out.append(hits[:top_k])
+        return out
+
+    # ---- lifecycle ------------------------------------------------------
+
+    def scan(self) -> Iterator[tuple[str, np.ndarray]]:
+        for r, pid in enumerate(self._perm_ids):
+            if self._alive[r]:
+                yield pid, self._xperm[r].copy()
+        yield from self._buffer.scan()
+
+    def get_stats(self) -> IndexStats:
+        return IndexStats(
+            count=self._main_live + self._buffer.get_stats().count,
+            dim=self.dim,
+            metric=self.metric,
+        )
+
+    def memory_bytes(self) -> dict:
+        """Device-resident bytes for memory-parity accounting."""
+        kc = self._lens.shape[0]
+        return {
+            "codes": int(self._codes.shape[0] * self.pq.m),
+            "centroids": int(kc * self.dim * 4),
+            "codebooks": int(self.pq.m * self.pq.ksub * self.pq.sub * 4),
+        }
+
+    def snapshot(self, path: str) -> None:
+        bids, bvecs = self._buffer.live_vectors()
+        meta = json.dumps({
+            "format": "pyrope_tpu.ivf_pq.v1",
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "pq_m": self.pq.m,
+            "ksub": self.pq.ksub,
+            "built": self._built,
+            "seed": self.seed,
+        })
+        np.savez_compressed(
+            path,
+            meta=np.str_(meta),
+            centroids=self._centroids if self._centroids is not None else np.zeros((0, self.dim), np.float32),
+            codebooks=self.pq.codebooks if self.pq.codebooks is not None else np.zeros(0, np.float32),
+            xperm=self._xperm,
+            codes=self._codes,
+            perm_ids=np.array(self._perm_ids, dtype=np.str_),
+            alive=self._alive,
+            offsets=self._offsets,
+            lens=self._lens,
+            buf_ids=np.array(bids, dtype=np.str_),
+            buf_vecs=bvecs,
+        )
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("format") != "pyrope_tpu.ivf_pq.v1":
+                raise ValueError(f"bad snapshot format: {meta.get('format')}")
+            if int(meta["dim"]) != self.dim:
+                raise ValueError("snapshot dim mismatch")
+            self.metric = Metric.parse(meta["metric"])
+            self.nlist = int(meta["nlist"])
+            self.nprobe = int(meta["nprobe"])
+            self.seed = int(meta.get("seed", COARSE_SEED))
+            self._built = bool(meta["built"])
+            self.pq = ProductQuantizer(m=int(meta["pq_m"]), ksub=int(meta["ksub"]), dim=self.dim)
+            cb = np.asarray(z["codebooks"], np.float32)
+            self.pq.codebooks = cb if cb.size else None
+            cents = np.asarray(z["centroids"], np.float32)
+            self._centroids = cents if cents.size else None
+            self._xperm = np.asarray(z["xperm"], np.float32)
+            self._codes = np.asarray(z["codes"], np.uint8)
+            self._perm_ids = [str(s) for s in z["perm_ids"]]
+            self._alive = np.asarray(z["alive"], bool)
+            self._offsets = np.asarray(z["offsets"], np.int32)
+            self._lens = np.asarray(z["lens"], np.int32)
+            self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+            self._main_live = int(self._alive.sum())
+            self._buffer = FlatIndex(self.dim, self.metric)
+            bids = [str(s) for s in z["buf_ids"]]
+            if bids:
+                self._buffer.add_batch(bids, np.asarray(z["buf_vecs"], np.float32))
+        self._dirty = True
+        self._dev = None

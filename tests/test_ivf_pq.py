@@ -1,0 +1,105 @@
+"""IvfPqIndex tests (mirrors Vector/IvfPqVectorIndexTests.cs plus the
+reference gaps we close: main-slab delete, snapshot/load)."""
+
+import numpy as np
+import pytest
+
+from pyrope_tpu import IvfPqIndex, Metric, SearchOptions
+from pyrope_tpu.utils.datasets import ground_truth, recall_at_k, synthetic
+
+
+def built_index(n=2000, dim=32, nlist=10, pq_m=8, ksub=64, metric=Metric.L2):
+    base = synthetic(n, dim)
+    idx = IvfPqIndex(dim, metric, nlist=nlist, pq_m=pq_m, ksub=ksub)
+    idx.add_batch([str(i) for i in range(n)], base)
+    idx.build()
+    return idx, base
+
+
+def test_buffer_search_before_build():
+    idx = IvfPqIndex(16, nlist=4, pq_m=4)
+    vecs = synthetic(30, 16)
+    idx.add_batch([str(i) for i in range(30)], vecs)
+    assert idx.search(vecs[11], 1)[0].id == "11"
+
+
+def test_full_probe_matches_reconstruction_ranking():
+    """ADC at full probe must reproduce the ranking implied by the PQ
+    reconstructions (the quantizer's ceiling) near-perfectly, and clear a
+    loose floor vs exact truth (uniform random data is PQ's hardest case)."""
+    idx, base = built_index()
+    q = synthetic(16, 32, seed=9)
+    res = idx.search_batch(q, 10, SearchOptions(nprobe=10))
+    ids = np.array([[int(h.id) for h in hits] + [-1] * (10 - len(hits)) for hits in res])
+
+    # ceiling: rank by decoded reconstructions + residual centroids
+    order = np.argsort([int(i) for i in idx._perm_ids])
+    recon = idx.pq.decode(idx._codes)
+    # rebuild absolute reconstructions: residual + assigned centroid
+    assign = np.repeat(np.arange(len(idx._lens)), idx._lens)
+    recon_abs = recon + idx._centroids[assign]
+    recon_sorted = recon_abs[order]  # row i = id str(i)
+    ceil_truth = ground_truth(recon_sorted, q, 10, "L2")
+    assert recall_at_k(ids, ceil_truth, 10) >= 0.95
+
+    truth = ground_truth(base, q, 10, "L2")
+    assert recall_at_k(ids, truth, 10) >= 0.3
+
+
+def test_exact_vector_found():
+    idx, base = built_index(n=500, nlist=5)
+    hits = idx.search(base[123], 5, SearchOptions(nprobe=5))
+    assert "123" in [h.id for h in hits]
+
+
+def test_ip_metric():
+    idx, base = built_index(n=1000, nlist=8, metric=Metric.INNER_PRODUCT)
+    q = synthetic(8, 32, seed=3)
+    truth = ground_truth(base, q, 10, "IP")
+    res = idx.search_batch(q, 10, SearchOptions(nprobe=8))
+    ids = np.array([[int(h.id) for h in hits] + [-1] * (10 - len(hits)) for hits in res])
+    assert recall_at_k(ids, truth, 10) >= 0.6
+
+
+def test_cosine_metric_scale_invariance():
+    idx, base = built_index(n=500, nlist=5, metric=Metric.COSINE)
+    res1 = idx.search(base[42], 10, SearchOptions(nprobe=5))
+    res2 = idx.search(base[42] * 7.0, 10, SearchOptions(nprobe=5))
+    assert [h.id for h in res1] == [h.id for h in res2]
+    assert "42" in [h.id for h in res1]
+
+
+def test_delete_from_main_is_visible():
+    idx, base = built_index(n=400, nlist=5)
+    assert idx.delete("77")
+    hits = idx.search(base[77], 20, SearchOptions(nprobe=5))
+    assert all(h.id != "77" for h in hits)
+    assert idx.get_stats().count == 399
+
+
+def test_writes_after_build_buffer_wins():
+    idx, base = built_index(n=300, nlist=5)
+    nv = np.full(32, -3.0, np.float32)
+    idx.add("new", nv)
+    assert idx.search(nv, 1)[0].id == "new"
+    idx.upsert("10", nv * 2)
+    assert idx.get_stats().count == 301
+
+
+def test_snapshot_load_roundtrip(tmp_path):
+    idx, base = built_index(n=400, nlist=5)
+    idx.delete("3")
+    p = str(tmp_path / "pq.npz")
+    idx.snapshot(p)
+    fresh = IvfPqIndex(32)
+    fresh.load(p)
+    assert fresh.get_stats().count == 399
+    hits = fresh.search(base[200], 5, SearchOptions(nprobe=5))
+    assert "200" in [h.id for h in hits]
+
+
+def test_memory_parity_accounting():
+    idx, base = built_index(n=1000, dim=32, nlist=10, pq_m=4, ksub=64)
+    mem = idx.memory_bytes()
+    assert mem["codes"] == 1000 * 4  # 4 bytes/vector vs 128 raw
+    assert mem["centroids"] == 10 * 32 * 4
