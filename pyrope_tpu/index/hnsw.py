@@ -1,0 +1,533 @@
+"""HNSW graph index: host-built hierarchy, TPU batched beam search.
+
+Rebuild of the reference's ``HnswVectorIndex``
+(ref: src/Pyrope.GarnetServer/Vector/HnswVectorIndex.cs):
+
+- params m (16), ef_construction (200), ef_search (10, mutable) (:30-40)
+- geometric level generation λ = 1/ln(m) (:351-357)
+- insert: greedy descent through upper layers (:106-134), then
+  SearchLayer(ef_construction) + link + prune to M (2M at layer 0) (:141-162)
+- ``SelectNeighbors`` = simple closest-M, no RNG-diversity heuristic (:327-331)
+- cosine vectors normalized at insert (:69-85) and queries at search (:212-219)
+- delete = tombstone only; the node keeps routing (:187-204)
+- reference gap closed: Snapshot/Load are real here (ref no-ops :371-372,
+  SURVEY §5.4)
+
+TPU redesign of the query path (the reference's sequential best-first
+SearchLayer :281-325 is unvectorizable): a **batched beam search** with fixed
+iteration count — each step expands the top-E unexpanded pool entries,
+gathers their adjacency rows, masks visited/duplicate/invalid candidates,
+scores E·2M candidates per query in one gathered einsum, and merges into the
+pool with top-k. A per-query visited bool map plus within-step pairwise dedup
+replaces the sequential visited set (SURVEY §7.6).
+
+Graph construction is inherently sequential (insert i depends on the graph
+after i−1); it runs on host over numpy (a native C++ builder is the planned
+fast path), while all queries run on device.
+"""
+
+from __future__ import annotations
+
+import functools
+import heapq
+import json
+import math
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pyrope_tpu.index.base import VectorIndex
+from pyrope_tpu.types import (
+    DEFAULT_SEARCH_OPTIONS,
+    IndexStats,
+    Metric,
+    SearchOptions,
+    SearchResult,
+)
+from pyrope_tpu.utils.shapes import batch_bucket, round_up
+
+DEFAULT_M = 16            # ref :30-40
+DEFAULT_EF_CONSTRUCTION = 200
+DEFAULT_EF_SEARCH = 10
+UPPER_GREEDY_STEPS = 16   # fixed greedy-descent iterations per upper level
+EXPAND_PER_STEP = 8       # E: pool entries expanded per beam iteration
+
+
+@functools.lru_cache(maxsize=None)
+def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int, n_upper: int):
+    """Jitted batched beam search at layer 0 (+ greedy upper descent)."""
+
+    @jax.jit
+    def fn(x, sqnorm, adj0, adj_up, alive, entry, q):
+        b, d = q.shape
+        qf = q.astype(jnp.float32)
+        qq = jnp.sum(qf * qf, axis=-1)
+
+        def node_scores(ids):
+            """ids [B, C] -> metric scores [B, C]; -inf for id < 0."""
+            safe = jnp.maximum(ids, 0)
+            vecs = jnp.take(x, safe, axis=0)            # [B, C, D]
+            dots = jnp.einsum("bcd,bd->bc", vecs, qf, preferred_element_type=jnp.float32)
+            if metric == Metric.L2:
+                sq = jnp.take(sqnorm, safe, axis=0)
+                s = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+            else:  # IP; cosine rows are pre-normalized so dots == cosine
+                s = dots
+            return jnp.where(ids >= 0, s, -jnp.inf)
+
+        # ---- upper-layer greedy descent (ref :229-247) -------------------
+        cur = jnp.full((b,), entry, jnp.int32)
+        cur_s = node_scores(cur[:, None])[:, 0]
+        for lev in range(n_upper - 1, -1, -1):
+            def body(_, carry):
+                cur, cur_s = carry
+                nbrs = jnp.take(adj_up[lev], cur, axis=0)      # [B, M]
+                s = node_scores(nbrs)
+                bi = jnp.argmax(s, axis=-1)
+                bs = jnp.take_along_axis(s, bi[:, None], axis=1)[:, 0]
+                better = bs > cur_s
+                nid = jnp.take_along_axis(nbrs, bi[:, None], axis=1)[:, 0]
+                return jnp.where(better, nid, cur), jnp.maximum(cur_s, bs)
+
+            cur, cur_s = jax.lax.fori_loop(0, UPPER_GREEDY_STEPS, body, (cur, cur_s))
+
+        # ---- layer-0 batched beam (replaces sequential SearchLayer) ------
+        deg = adj0.shape[1]
+        c = EXPAND_PER_STEP * deg                       # candidates per step
+        n_nodes = x.shape[0]
+
+        pool_ids = jnp.full((b, pool), -1, jnp.int32)
+        pool_s = jnp.full((b, pool), -jnp.inf, jnp.float32)
+        expanded = jnp.zeros((b, pool), bool)
+        visited = jnp.zeros((b, n_nodes), bool)
+
+        pool_ids = pool_ids.at[:, 0].set(cur)
+        pool_s = pool_s.at[:, 0].set(cur_s)
+        visited = jax.vmap(lambda v, i: v.at[i].set(True))(visited, cur)
+
+        iota_pool = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pool), 2)
+
+        def step(_, carry):
+            pool_ids, pool_s, expanded, visited = carry
+            unexp = jnp.where(
+                (~expanded) & (pool_ids >= 0), pool_s, -jnp.inf
+            )
+            top_vals, pos = jax.lax.top_k(unexp, EXPAND_PER_STEP)   # [B, E]
+            valid_e = jnp.isfinite(top_vals)
+            hit = (pos[:, :, None] == iota_pool) & valid_e[:, :, None]
+            expanded = expanded | jnp.any(hit, axis=1)
+
+            eids = jnp.take_along_axis(pool_ids, pos, axis=1)       # [B, E]
+            nbrs = jnp.take(adj0, jnp.maximum(eids, 0), axis=0)     # [B, E, deg]
+            nbrs = jnp.where(valid_e[:, :, None], nbrs, -1).reshape(b, c)
+
+            safe = jnp.maximum(nbrs, 0)
+            pre_seen = jnp.take_along_axis(visited, safe, axis=1)
+            # within-step duplicate suppression: keep first occurrence only
+            eq = nbrs[:, :, None] == nbrs[:, None, :]               # [B, C, C]
+            tri = jnp.tril(jnp.ones((c, c), bool), k=-1)
+            dup = jnp.any(eq & tri[None], axis=2)
+            invalid = nbrs < 0
+            drop = pre_seen | dup | invalid
+
+            visited = jax.vmap(lambda v, idx, ok: v.at[idx].max(ok))(
+                visited, safe, ~invalid
+            )
+
+            s = node_scores(nbrs)
+            s = jnp.where(drop, -jnp.inf, s)
+
+            all_s = jnp.concatenate([pool_s, s], axis=1)
+            all_ids = jnp.concatenate([pool_ids, nbrs], axis=1)
+            all_exp = jnp.concatenate(
+                [expanded, jnp.zeros((b, c), bool)], axis=1
+            )
+            pool_s, sel = jax.lax.top_k(all_s, pool)
+            pool_ids = jnp.take_along_axis(all_ids, sel, axis=1)
+            expanded = jnp.take_along_axis(all_exp, sel, axis=1)
+            pool_ids = jnp.where(jnp.isfinite(pool_s), pool_ids, -1)
+            return pool_ids, pool_s, expanded, visited
+
+        pool_ids, pool_s, expanded, visited = jax.lax.fori_loop(
+            0, steps, step, (pool_ids, pool_s, expanded, visited)
+        )
+
+        # final: drop tombstones, take top-k (ref tombstone filter :187-204)
+        ok = (pool_ids >= 0) & jnp.take(alive, jnp.maximum(pool_ids, 0), axis=0)
+        final_s = jnp.where(ok, pool_s, -jnp.inf)
+        vals, sel = jax.lax.top_k(final_s, k)
+        ids = jnp.take_along_axis(pool_ids, sel, axis=1)
+        ids = jnp.where(jnp.isfinite(vals), ids, -1)
+        return vals, ids
+
+    return fn
+
+
+class HnswIndex(VectorIndex):
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        m: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        seed: int = 42,
+    ):
+        self.dim = int(dim)
+        self.metric = Metric.parse(metric)
+        self.m = int(m)
+        self.ef_construction = int(ef_construction)
+        self.ef_search = int(ef_search)  # mutable, ref :30-40
+        self._ml = 1.0 / math.log(self.m)  # λ = 1/ln(m), ref :351-357
+        self._rng = np.random.default_rng(seed)
+
+        cap = 1024
+        self._vecs = np.zeros((cap, self.dim), np.float32)
+        self._alive = np.zeros(cap, bool)
+        self._levels = np.full(cap, -1, np.int32)
+        self._adj0 = np.full((cap, 2 * self.m), -1, np.int32)
+        self._adj_up: list[np.ndarray] = []   # per level >= 1: [cap, M]
+        self._row_ids: list[Optional[str]] = [None] * cap
+        self._id_to_row: dict[str, int] = {}
+        self._count = 0
+        self._live = 0
+        self._entry = -1
+        self._top_level = -1
+        self._dirty = True
+        self._dev: Optional[dict] = None
+
+    # ---- host-side scoring (higher = better) ----------------------------
+
+    def _prep(self, v: np.ndarray) -> np.ndarray:
+        v = np.asarray(v, np.float32).reshape(-1)
+        if v.shape[0] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {v.shape[0]}")
+        if self.metric == Metric.COSINE:  # normalize at insert (ref :69-85)
+            n = np.linalg.norm(v)
+            if n > 1e-12:
+                v = v / n
+        return v
+
+    def _scores(self, q: np.ndarray, rows: np.ndarray) -> np.ndarray:
+        vecs = self._vecs[rows]
+        dots = vecs @ q
+        if self.metric == Metric.L2:
+            return -np.maximum(((q * q).sum() - 2 * dots + (vecs * vecs).sum(1)), 0.0)
+        return dots  # IP / normalized cosine
+
+    # ---- capacity -------------------------------------------------------
+
+    def _grow(self, need: int) -> None:
+        cap = self._vecs.shape[0]
+        if need <= cap:
+            return
+        new_cap = max(need, cap * 2)
+        def pad2(a, fill):
+            out = np.full((new_cap,) + a.shape[1:], fill, a.dtype)
+            out[:cap] = a
+            return out
+        self._vecs = pad2(self._vecs, 0)
+        self._alive = pad2(self._alive, False)
+        self._levels = pad2(self._levels, -1)
+        self._adj0 = pad2(self._adj0, -1)
+        self._adj_up = [pad2(a, -1) for a in self._adj_up]
+        self._row_ids.extend([None] * (new_cap - cap))
+        self._dev = None
+
+    def _adj_at(self, level: int) -> np.ndarray:
+        if level == 0:
+            return self._adj0
+        while len(self._adj_up) < level:
+            self._adj_up.append(
+                np.full((self._vecs.shape[0], self.m), -1, np.int32)
+            )
+        return self._adj_up[level - 1]
+
+    # ---- host search-layer (build only; ref SearchLayer :281-325) --------
+
+    def _search_layer_host(
+        self, q: np.ndarray, entries: list[int], ef: int, level: int
+    ) -> list[tuple[float, int]]:
+        adj = self._adj_at(level)
+        visited = set(entries)
+        escore = {e: float(self._scores(q, np.array([e]))[0]) for e in entries}
+        cand = [(-escore[e], e) for e in entries]   # max-heap by score
+        heapq.heapify(cand)
+        w = [(escore[e], e) for e in entries]        # min-heap: worst first
+        heapq.heapify(w)
+        while len(w) > ef:
+            heapq.heappop(w)
+        while cand:
+            negs, c = heapq.heappop(cand)
+            if len(w) >= ef and -negs < w[0][0]:
+                break
+            nbrs = [n for n in adj[c] if n >= 0 and n not in visited]
+            if not nbrs:
+                continue
+            visited.update(nbrs)
+            ss = self._scores(q, np.array(nbrs))
+            for n, sn in zip(nbrs, ss):
+                sn = float(sn)
+                if len(w) < ef or sn > w[0][0]:
+                    heapq.heappush(w, (sn, int(n)))
+                    heapq.heappush(cand, (-sn, int(n)))
+                    if len(w) > ef:
+                        heapq.heappop(w)
+        return sorted(w, reverse=True)  # [(score, node)] best first
+
+    def _greedy_descent_host(self, q: np.ndarray, start: int, level: int) -> int:
+        cur = start
+        cur_s = float(self._scores(q, np.array([cur]))[0])
+        adj = self._adj_at(level)
+        while True:
+            nbrs = adj[cur]
+            nbrs = nbrs[nbrs >= 0]
+            if nbrs.size == 0:
+                return cur
+            ss = self._scores(q, nbrs)
+            bi = int(np.argmax(ss))
+            if ss[bi] <= cur_s:
+                return cur
+            cur, cur_s = int(nbrs[bi]), float(ss[bi])
+
+    def _link(self, a: int, b: int, level: int) -> None:
+        """Add b to a's neighbor list, pruning to closest max-degree
+        (ref link+prune :141-162; SelectNeighbors=closest :327-331)."""
+        adj = self._adj_at(level)
+        row = adj[a]
+        slot = np.where(row < 0)[0]
+        if slot.size:
+            row[slot[0]] = b
+            return
+        cands = np.append(row, b)
+        ss = self._scores(self._vecs[a], cands)
+        keep = cands[np.argsort(-ss)[: row.shape[0]]]
+        adj[a][:] = keep
+
+    # ---- mutation --------------------------------------------------------
+
+    def add(self, id: str, vector: np.ndarray) -> bool:
+        row = self._id_to_row.get(id)
+        if row is not None and self._alive[row]:
+            return False
+        v = self._prep(vector)
+        if row is not None:  # revive tombstone in place, keep links
+            self._vecs[row] = v
+            self._alive[row] = True
+            self._live += 1
+            self._dirty = True
+            return True
+        self._grow(self._count + 1)
+        row = self._count
+        self._count += 1
+        level = int(-math.log(max(self._rng.random(), 1e-12)) * self._ml)
+        self._vecs[row] = v
+        self._alive[row] = True
+        self._levels[row] = level
+        self._row_ids[row] = id
+        self._id_to_row[id] = row
+        self._live += 1
+        self._dirty = True
+
+        if self._entry < 0:
+            self._entry = row
+            self._top_level = level
+            self._adj_at(level)  # materialize layers
+            return True
+
+        cur = self._entry
+        for lev in range(self._top_level, level, -1):
+            cur = self._greedy_descent_host(v, cur, lev)
+        for lev in range(min(level, self._top_level), -1, -1):
+            w = self._search_layer_host(v, [cur], self.ef_construction, lev)
+            max_deg = 2 * self.m if lev == 0 else self.m
+            neighbors = [n for _, n in w[: self.m]]   # closest-M selection
+            adj = self._adj_at(lev)
+            for n in neighbors:
+                if n == row:
+                    continue
+                slot = np.where(adj[row] < 0)[0]
+                if slot.size:
+                    adj[row][slot[0]] = n
+                self._link(n, row, lev)
+            cur = w[0][1] if w else cur
+        if level > self._top_level:
+            self._entry = row
+            self._top_level = level
+            self._adj_at(level)
+        return True
+
+    def upsert(self, id: str, vector: np.ndarray) -> None:
+        row = self._id_to_row.get(id)
+        if row is None:
+            self.add(id, vector)
+            return
+        if not self._alive[row]:
+            self._live += 1
+        self._vecs[row] = self._prep(vector)  # in-place update, links kept
+        self._alive[row] = True
+        self._dirty = True
+
+    def delete(self, id: str) -> bool:
+        row = self._id_to_row.get(id)
+        if row is None or not self._alive[row]:
+            return False
+        self._alive[row] = False  # tombstone only (ref :187-204)
+        self._live -= 1
+        self._dirty = True
+        return True
+
+    # ---- device sync + query ---------------------------------------------
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        n = max(self._count, 1)
+        npad = round_up(n, 8)
+        x = np.zeros((npad, self.dim), np.float32)
+        x[: self._count] = self._vecs[: self._count]
+        sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+        adj0 = np.full((npad, 2 * self.m), -1, np.int32)
+        adj0[: self._count] = self._adj0[: self._count]
+        alive = np.zeros(npad, bool)
+        alive[: self._count] = self._alive[: self._count]
+        n_upper = len(self._adj_up)
+        if n_upper:
+            up = np.full((n_upper, npad, self.m), -1, np.int32)
+            for i, a in enumerate(self._adj_up):
+                up[i, : self._count] = a[: self._count]
+        else:
+            up = np.full((1, npad, self.m), -1, np.int32)  # dummy, unused
+        self._dev = {
+            "x": jnp.asarray(x),
+            "sqnorm": jnp.asarray(sq),
+            "adj0": jnp.asarray(adj0),
+            "adj_up": jnp.asarray(up),
+            "alive": jnp.asarray(alive),
+            "n_upper": n_upper,
+        }
+        self._dirty = False
+        return self._dev
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {q.shape[1]}")
+        if self._count == 0 or self._entry < 0:
+            return [[] for _ in range(q.shape[0])]
+        if self.metric == Metric.COSINE:
+            norms = np.linalg.norm(q, axis=1, keepdims=True)
+            q = q / np.maximum(norms, 1e-12)
+
+        ef = options.ef_search or self.ef_search
+        pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
+        steps = max(4, -(-pool // EXPAND_PER_STEP) + 4)
+        b = q.shape[0]
+        bb = batch_bucket(b)
+        qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
+
+        dev = self._sync()
+        search_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        )
+        fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
+        vals, rows = fn(
+            dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
+            jnp.int32(self._entry), jnp.asarray(qp),
+        )
+        vals = np.asarray(vals[:b])
+        rows = np.asarray(rows[:b])
+        out: list[list[SearchResult]] = []
+        for bi in range(b):
+            hits = []
+            for v, r in zip(vals[bi], rows[bi]):
+                if r < 0 or not np.isfinite(v):
+                    continue
+                rid = self._row_ids[int(r)]
+                if rid is not None:
+                    hits.append(SearchResult(rid, float(v)))
+            out.append(hits)
+        return out
+
+    # ---- lifecycle --------------------------------------------------------
+
+    def scan(self) -> Iterator[tuple[str, np.ndarray]]:
+        for row in range(self._count):
+            if self._alive[row] and self._row_ids[row] is not None:
+                yield self._row_ids[row], self._vecs[row].copy()
+
+    def get_stats(self) -> IndexStats:
+        return IndexStats(count=self._live, dim=self.dim, metric=self.metric)
+
+    def snapshot(self, path: str) -> None:
+        """Real graph snapshot (reference HNSW Snapshot is a no-op :371-372)."""
+        n = self._count
+        meta = json.dumps({
+            "format": "pyrope_tpu.hnsw.v1",
+            "dim": self.dim,
+            "metric": self.metric.value,
+            "m": self.m,
+            "ef_construction": self.ef_construction,
+            "ef_search": self.ef_search,
+            "entry": self._entry,
+            "top_level": self._top_level,
+            "count": n,
+        })
+        np.savez_compressed(
+            path,
+            meta=np.str_(meta),
+            vecs=self._vecs[:n],
+            alive=self._alive[:n],
+            levels=self._levels[:n],
+            adj0=self._adj0[:n],
+            adj_up=np.stack([a[:n] for a in self._adj_up]) if self._adj_up else np.zeros((0, n, self.m), np.int32),
+            ids=np.array([self._row_ids[r] or "" for r in range(n)], dtype=np.str_),
+        )
+
+    def load(self, path: str) -> None:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("format") != "pyrope_tpu.hnsw.v1":
+                raise ValueError(f"bad snapshot format: {meta.get('format')}")
+            if int(meta["dim"]) != self.dim:
+                raise ValueError("snapshot dim mismatch")
+            self.metric = Metric.parse(meta["metric"])
+            self.m = int(meta["m"])
+            self.ef_construction = int(meta["ef_construction"])
+            self.ef_search = int(meta["ef_search"])
+            self._ml = 1.0 / math.log(self.m)
+            n = int(meta["count"])
+            cap = max(1024, round_up(n, 1024))
+            self._vecs = np.zeros((cap, self.dim), np.float32)
+            self._alive = np.zeros(cap, bool)
+            self._levels = np.full(cap, -1, np.int32)
+            self._adj0 = np.full((cap, 2 * self.m), -1, np.int32)
+            self._vecs[:n] = z["vecs"]
+            self._alive[:n] = z["alive"]
+            self._levels[:n] = z["levels"]
+            self._adj0[:n] = z["adj0"]
+            up = np.asarray(z["adj_up"])
+            self._adj_up = []
+            for i in range(up.shape[0]):
+                a = np.full((cap, self.m), -1, np.int32)
+                a[:n] = up[i]
+                self._adj_up.append(a)
+            ids = [str(s) for s in z["ids"]]
+            self._row_ids = [i if i else None for i in ids] + [None] * (cap - n)
+            self._id_to_row = {i: r for r, i in enumerate(ids) if i}
+            self._count = n
+            self._live = int(self._alive[:n].sum())
+            self._entry = int(meta["entry"])
+            self._top_level = int(meta["top_level"])
+        self._dirty = True
+        self._dev = None

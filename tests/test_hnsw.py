@@ -1,0 +1,101 @@
+"""HnswIndex tests (mirrors Vector/HnswVectorIndexTests.cs:11-80: exact
+match, nearest, upsert-on-dup, tombstone delete; plus recall and the
+snapshot capability the reference lacks)."""
+
+import numpy as np
+import pytest
+
+from pyrope_tpu import HnswIndex, Metric, SearchOptions
+from pyrope_tpu.utils.datasets import ground_truth, recall_at_k, synthetic
+
+
+def built(n=500, dim=16, metric=Metric.L2, **kw):
+    base = synthetic(n, dim)
+    idx = HnswIndex(dim, metric, **kw)
+    for i, v in enumerate(base):
+        idx.add(str(i), v)
+    return idx, base
+
+
+def test_exact_match_found():
+    idx, base = built(n=200)
+    hits = idx.search(base[50], 5, SearchOptions(ef_search=50))
+    assert hits[0].id == "50"
+    assert hits[0].score == pytest.approx(0.0, abs=1e-3)
+
+
+def test_nearest_neighbor_quality():
+    idx, base = built(n=500)
+    q = synthetic(16, 16, seed=5)
+    truth = ground_truth(base, q, 10, "L2")
+    res = idx.search_batch(q, 10, SearchOptions(ef_search=64))
+    ids = np.array([[int(h.id) for h in hits] + [-1] * (10 - len(hits)) for hits in res])
+    assert recall_at_k(ids, truth, 10) >= 0.85
+
+
+def test_upsert_on_duplicate_updates_vector():
+    idx, base = built(n=100)
+    nv = np.full(16, 5.0, np.float32)
+    idx.upsert("30", nv)
+    hits = idx.search(nv, 1, SearchOptions(ef_search=50))
+    assert hits[0].id == "30"
+    assert idx.get_stats().count == 100
+
+
+def test_tombstone_delete():
+    idx, base = built(n=150)
+    assert idx.delete("60")
+    assert not idx.delete("60")
+    hits = idx.search(base[60], 10, SearchOptions(ef_search=50))
+    assert all(h.id != "60" for h in hits)
+    assert idx.get_stats().count == 149
+
+
+def test_cosine_normalized_at_insert_and_query():
+    idx, base = built(n=200, metric=Metric.COSINE)
+    hits = idx.search(base[40] * 9.0, 1, SearchOptions(ef_search=50))
+    assert hits[0].id == "40"
+    assert hits[0].score == pytest.approx(1.0, abs=1e-3)
+
+
+def test_inner_product_metric():
+    idx, base = built(n=300, metric=Metric.INNER_PRODUCT)
+    q = synthetic(4, 16, seed=8)
+    truth = ground_truth(base, q, 5, "IP")
+    res = idx.search_batch(q, 5, SearchOptions(ef_search=64))
+    ids = np.array([[int(h.id) for h in hits] + [-1] * (5 - len(hits)) for hits in res])
+    assert recall_at_k(ids, truth, 5) >= 0.7
+
+
+def test_empty_index():
+    idx = HnswIndex(8)
+    assert idx.search(np.ones(8, np.float32), 5) == []
+
+
+def test_single_node():
+    idx = HnswIndex(8)
+    idx.add("only", np.ones(8, np.float32))
+    hits = idx.search(np.ones(8, np.float32), 5)
+    assert [h.id for h in hits] == ["only"]
+
+
+def test_snapshot_load_roundtrip(tmp_path):
+    idx, base = built(n=200)
+    idx.delete("9")
+    p = str(tmp_path / "hnsw.npz")
+    idx.snapshot(p)
+    fresh = HnswIndex(16)
+    fresh.load(p)
+    assert fresh.get_stats().count == 199
+    hits = fresh.search(base[100], 3, SearchOptions(ef_search=50))
+    assert hits[0].id == "100"
+    assert all(h.id != "9" for h in fresh.search(base[9], 20, SearchOptions(ef_search=50)))
+
+
+def test_batch_matches_single():
+    idx, base = built(n=300)
+    q = base[:4] + 0.001
+    batch = idx.search_batch(q, 5, SearchOptions(ef_search=50))
+    for i in range(4):
+        single = idx.search(q[i], 5, SearchOptions(ef_search=50))
+        assert [h.id for h in batch[i]] == [h.id for h in single]
