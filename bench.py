@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark harness — TPU analog of the reference bench CLI
+(ref: src/Pyrope.Benchmarks/Program.cs: dataset load :192-263, timed search
+loop with per-query latency capture :344-396, QPS + quantile summary
+:169-172), plus recall@10 vs exact ground truth which the reference never
+measures (SURVEY §4).
+
+Prints exactly ONE JSON line on stdout:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+Detailed per-config results go to stderr and BENCH_DETAIL.json.
+
+Headline config: IVF-Flat 100k x 128d synthetic, batch=64, topK=10 — the
+reference's best published number for this workload is 673.2 QPS
+(docs/benchmarks/20260118_benchmark_100k_ivf.md, see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Persistent compilation cache: index-build/search jits are reused across
+# bench runs instead of recompiling (~30 s saved on the IVF configs).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pyrope_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BASELINES = {
+    # reference QPS numbers from BASELINE.md
+    "flat1k": 1894.3,
+    "flat10k": 272.5,
+    "flat100k": 69.6,
+    "ivf100k": 673.2,
+    "ivf500k": 192.7,
+    "sq8_100k": 461.4,
+    "hnsw10k": None,       # reference publishes no HNSW QPS for this shape
+    "ivfpq100k": None,
+    "delta20k": None,
+}
+
+CONFIGS = {
+    # name: (algo, n_base, dim, kwargs)
+    "flat1k": ("FLAT", 1_000, 128, {}),
+    "flat10k": ("FLAT", 10_000, 128, {}),
+    "flat100k": ("FLAT", 100_000, 128, {}),
+    "sq8_100k": ("FLAT_SQ8", 100_000, 128, {}),
+    "ivf100k": ("IVF_FLAT", 100_000, 128, {"nlist": 100}),
+    "ivf500k": ("IVF_FLAT", 500_000, 128, {"nlist": 100}),
+    "ivfpq100k": ("IVF_PQ", 100_000, 128, {"nlist": 100, "pq_m": 4, "ksub": 256}),
+    "hnsw10k": ("HNSW", 10_000, 128, {"m": 16, "ef_construction": 200, "ef_search": 50}),
+    "delta20k": ("DELTA", 20_000, 128, {}),
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_index(algo: str, dim: int, kwargs: dict):
+    import pyrope_tpu as pt
+
+    if algo == "FLAT":
+        return pt.FlatIndex(dim, "L2")
+    if algo == "FLAT_SQ8":
+        return pt.FlatIndex(dim, "L2", storage="sq8")
+    if algo == "IVF_FLAT":
+        return pt.IvfFlatIndex(dim, "L2", **kwargs)
+    if algo == "IVF_PQ":
+        return pt.IvfPqIndex(dim, "L2", **kwargs)
+    if algo == "HNSW":
+        return pt.HnswIndex(dim, "L2", **kwargs)
+    if algo == "DELTA":
+        import pyrope_tpu as pt
+
+        return pt.DeltaIndex(
+            pt.FlatIndex(dim, "L2"),
+            pt.IvfFlatIndex(dim, "L2", nlist=100),
+        )
+    raise ValueError(f"unknown algo {algo}")
+
+
+def run_config(name: str, batch: int, topk: int, n_queries: int, duration_s: float) -> dict:
+    import pyrope_tpu as pt
+    from pyrope_tpu.utils.datasets import (
+        ground_truth,
+        recall_at_k,
+        synthetic,
+        synthetic_queries,
+    )
+    from pyrope_tpu.utils.stats import LatencySummary
+
+    algo, n_base, dim, kwargs = CONFIGS[name]
+    log(f"[{name}] algo={algo} n={n_base} dim={dim} batch={batch} topk={topk}")
+
+    base = synthetic(n_base, dim)
+    queries = synthetic_queries(max(n_queries, batch), dim)
+    idx = build_index(algo, dim, kwargs)
+
+    t0 = time.perf_counter()
+    idx.add_batch([str(i) for i in range(n_base)], base)
+    load_s = time.perf_counter() - t0
+    log(f"[{name}] load: {load_s:.2f}s ({n_base/load_s:,.0f} vec/s)")
+
+    t0 = time.perf_counter()
+    idx.build()
+    build_s = time.perf_counter() - t0
+    log(f"[{name}] build: {build_s:.2f}s")
+
+    import jax
+    import jax.numpy as jnp
+
+    opts = pt.SearchOptions()
+    n_slices = max(len(queries) // batch, 1)
+    q_dev = jnp.asarray(queries[: n_slices * batch].reshape(n_slices, batch, dim))
+
+    # warmup / compile
+    v, r = idx.device_search(q_dev[0], topk, opts)
+    jax.block_until_ready((v, r))
+
+    # Throughput: pipelined async dispatch, block once at the end. This is
+    # the TPU analog of the reference's 4 concurrent client workers
+    # (ref Program.cs :344-396) — outstanding requests keep the device busy.
+    calib_iters = 32
+    t0 = time.perf_counter()
+    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(calib_iters)]
+    jax.block_until_ready(outs[-1])
+    per_iter = (time.perf_counter() - t0) / calib_iters
+    iters = max(calib_iters, min(int(duration_s / per_iter), 20000))
+    t0 = time.perf_counter()
+    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(iters)]
+    jax.block_until_ready(outs[-1])
+    total_s = time.perf_counter() - t0
+    qps = iters * batch / total_s
+
+    # Latency: per-batch blocking round trip (includes host<->device link;
+    # on the tunneled dev TPU this is dominated by ~35 ms RTT).
+    lat_ms = []
+    for i in range(30):
+        t0 = time.perf_counter()
+        jax.block_until_ready(idx.device_search(q_dev[i % n_slices], topk, opts))
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    summary = LatencySummary.from_samples(lat_ms)
+
+    gt_q = queries[:batch]
+    truth = ground_truth(base, gt_q, topk, "L2")
+    vals, rows = idx.device_search(q_dev[0], topk, opts)
+    id_lists = idx.resolve_rows(np.asarray(rows))
+    ids = np.array(
+        [[int(i) if i else -1 for i in row] for row in id_lists]
+    )
+    recall = recall_at_k(ids, truth, topk)
+
+    out = {
+        "config": name,
+        "algo": algo,
+        "n_base": n_base,
+        "dim": dim,
+        "batch": batch,
+        "topk": topk,
+        "qps": round(qps, 1),
+        "recall_at_10": round(recall, 4),
+        "load_s": round(load_s, 3),
+        "build_s": round(build_s, 3),
+        "latency_batch_ms": summary.to_dict(),
+        "baseline_qps": BASELINES.get(name),
+    }
+    log(f"[{name}] QPS={qps:,.1f} recall@{topk}={recall:.4f} "
+        f"p50={summary.p50_ms:.2f}ms p99={summary.p99_ms:.2f}ms")
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="ivf100k", choices=sorted(CONFIGS))
+    ap.add_argument("--all", action="store_true", help="run every config")
+    ap.add_argument("--quick", action="store_true", help="small fast sanity run")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--queries", type=int, default=1024)
+    ap.add_argument("--duration", type=float, default=5.0)
+    args = ap.parse_args()
+
+    if args.quick:
+        names = ["flat10k"]
+        args.duration = min(args.duration, 2.0)
+    elif args.all:
+        names = list(CONFIGS)
+    else:
+        names = [args.config]
+
+    results = [
+        run_config(n, args.batch, args.topk, args.queries, args.duration)
+        for n in names
+    ]
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    head = next((r for r in results if r["config"] == "ivf100k"), results[0])
+    baseline = head["baseline_qps"]
+    line = {
+        "metric": f"search_qps_{head['config']}_batch{head['batch']}",
+        "value": head["qps"],
+        "unit": "qps",
+        "vs_baseline": round(head["qps"] / baseline, 2) if baseline else None,
+    }
+    print(json.dumps(line), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -114,6 +114,16 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
             out.append(merged[:top_k])
         return out
 
+    def device_search(self, q, top_k, options=DEFAULT_SEARCH_OPTIONS):
+        """Device-resident query; valid when the Head is fully compacted
+        (post-build) so the Tail alone is authoritative."""
+        if self.head.get_stats().count:
+            raise RuntimeError("device_search requires a compacted (empty) head")
+        return self.tail.device_search(q, top_k, options)
+
+    def resolve_rows(self, rows):
+        return self.tail.resolve_rows(rows)
+
     # ---- compaction (ref :124-158) ----------------------------------------
 
     def build(self) -> None:

@@ -265,6 +265,23 @@ class FlatIndex(VectorIndex):
         fn = _dense_search_fn(self.metric, top_k, self.compute_dtype)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 
+    def device_search(
+        self, q: jax.Array, top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident query path: q [B, D] on device -> device
+        (scores [B, k], slab rows [B, k]); no host synchronization. This is
+        the hot path for pipelined/async serving (host round-trips through
+        the TPU tunnel cost ~ms; see bench.py)."""
+        return self._search_device(q, top_k, options.max_scans)
+
+    def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
+        """Map slab rows (from device_search) to external ids; '' = no hit."""
+        return [
+            [self._row_ids[int(r)] or "" if r >= 0 else "" for r in row]
+            for row in rows
+        ]
+
     def search_batch(
         self,
         queries: np.ndarray,

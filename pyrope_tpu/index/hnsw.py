@@ -412,6 +412,33 @@ class HnswIndex(VectorIndex):
         self._dirty = False
         return self._dev
 
+    def device_search(
+        self, q: jax.Array, top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident beam search; q [B, D] on device (pre-normalized
+        for COSINE). Returns device (scores [B, k], node rows [B, k])."""
+        if self._count == 0 or self._entry < 0:
+            raise RuntimeError("device_search on empty index")
+        ef = options.ef_search or self.ef_search
+        pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
+        steps = max(4, -(-pool // EXPAND_PER_STEP) + 4)
+        dev = self._sync()
+        search_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        )
+        fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
+        return fn(
+            dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
+            jnp.int32(self._entry), q,
+        )
+
+    def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
+        return [
+            [self._row_ids[int(r)] or "" if r >= 0 else "" for r in row]
+            for row in rows
+        ]
+
     def search_batch(
         self,
         queries: np.ndarray,

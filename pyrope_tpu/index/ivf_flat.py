@@ -251,6 +251,32 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         self._dirty = False
         return self._dev
 
+    def device_search(
+        self, q: jax.Array, top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident query over the built main slab only (the mutable
+        buffer must be empty — compact first). Returns device
+        (scores [B, k], permuted rows [B, k]); no host sync."""
+        if self._buffer.get_stats().count:
+            raise RuntimeError("device_search requires an empty buffer; call build()")
+        if not self._built:
+            raise RuntimeError("device_search requires a built index")
+        dev = self._sync()
+        nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
+        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
+        fn = _ivf_search_fn(self.metric, top_k, nprobe, dev["l_pad"], self.compute_dtype)
+        return fn(
+            dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"], dev["alive"],
+            dev["offsets"], dev["lens"], q, jnp.int32(ms),
+        )
+
+    def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
+        return [
+            [self._perm_ids[int(r)] if r >= 0 else "" for r in row]
+            for row in rows
+        ]
+
     def search_batch(
         self,
         queries: np.ndarray,

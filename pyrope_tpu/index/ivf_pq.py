@@ -253,6 +253,32 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         self._dirty = False
         return self._dev
 
+    def device_search(
+        self, q: jax.Array, top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> tuple[jax.Array, jax.Array]:
+        """Device-resident ADC query over the built slab (buffer must be
+        empty). q must already be normalized for COSINE."""
+        if self._buffer.get_stats().count:
+            raise RuntimeError("device_search requires an empty buffer; call build()")
+        if not self._built:
+            raise RuntimeError("device_search requires a built index")
+        dev = self._sync()
+        nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
+        ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
+        search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"])
+        return fn(
+            dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
+            dev["offsets"], dev["lens"], dev["codebooks"], q, jnp.int32(ms),
+        )
+
+    def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
+        return [
+            [self._perm_ids[int(r)] if r >= 0 else "" for r in row]
+            for row in rows
+        ]
+
     def search_batch(
         self,
         queries: np.ndarray,

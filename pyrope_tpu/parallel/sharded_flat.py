@@ -1,0 +1,153 @@
+"""Corpus-sharded exact scan + sharded k-means build step.
+
+The scaling story (SURVEY §5.7/§5.8, §7.8): corpus rows are sharded over the
+mesh's ``data`` axis; each shard computes local scores + local top-k over its
+rows; the [k]-sized candidate lists ride an ICI ``all_gather`` and every
+shard reduces them to the final top-k (replicated output). Queries stay
+replicated on a 1-D mesh. The k-means build step likewise shards the
+assignment matmul and reduces centroid partial sums with ``psum``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyrope_tpu.index.flat import FlatIndex, _STORAGE_DTYPES
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.ops.topk import masked_topk
+from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.types import Metric
+from pyrope_tpu.utils.shapes import round_up
+
+
+def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None):
+    """Jitted sharded scan: rows split over DATA_AXIS, per-shard top-k,
+    all-gather merge; returns replicated (vals [B,k], global_rows [B,k])."""
+    cdtype = None if compute is None else jnp.dtype(compute)
+
+    def local(vecs, sqnorm, alive, q, ms):
+        rows_local = vecs.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        base = shard * rows_local
+        grow = base + jax.lax.broadcasted_iota(jnp.int32, (rows_local, 1), 0)[:, 0]
+        scores = score_matrix(q, vecs, metric, x_sqnorm=sqnorm, compute_dtype=cdtype)
+        mask = alive & (grow < ms)
+        vals, idx = masked_topk(scores, mask[None, :], k)
+        gidx = jnp.where(idx >= 0, idx + base, -1)
+        # ICI all-gather of the tiny [B, k] candidate sets, merge everywhere
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(None, None), P()),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "mesh"))
+def sharded_kmeans_step(x, valid, cents, *, metric: Metric, mesh: Mesh):
+    """One Lloyd iteration with rows sharded over DATA_AXIS.
+
+    x [N, D] sharded P(data, None); valid [N] sharded; cents [K, D]
+    replicated. Partial per-shard (sums, counts) reduce via psum; returns
+    replicated new centroids — the 'training step' of an index build.
+    """
+
+    def local(xl, vl, c):
+        scores = score_matrix(xl, c, metric)
+        assign = jnp.argmax(scores, axis=1)
+        k = c.shape[0]
+        onehot = (
+            (assign[:, None] == jax.lax.broadcasted_iota(jnp.int32, (1, k), 1))
+            & vl[:, None]
+        ).astype(jnp.float32)
+        sums = jnp.dot(onehot.T, xl.astype(jnp.float32), preferred_element_type=jnp.float32)
+        counts = jnp.sum(onehot, axis=0)
+        sums = jax.lax.psum(sums, DATA_AXIS)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        new = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where(counts[:, None] > 0, new, c)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        out_specs=P(None, None),
+        check_vma=False,
+    )(x, valid, cents)
+
+
+class ShardedFlatIndex(FlatIndex):
+    """FlatIndex whose device slab is row-sharded over a 1-D mesh.
+
+    Same host API/semantics as FlatIndex; the slab capacity is padded to a
+    multiple of the mesh size so shards stay equal.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        mesh: Optional[Mesh] = None,
+        storage: str = "fp32",
+        compute_dtype: Optional[str] = None,
+        min_capacity: int = 1024,
+    ):
+        if storage == "sq8":
+            raise NotImplementedError("sq8 not yet supported on the sharded scan")
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self._ndev = self.mesh.devices.size
+        super().__init__(
+            dim, metric, storage=storage, compute_dtype=compute_dtype,
+            min_capacity=max(min_capacity, 8 * self._ndev),
+        )
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        cap = round_up(self._cap, self._ndev)
+        vf = self._vecs
+        if cap != self._cap:
+            vf = np.pad(vf, ((0, cap - self._cap), (0, 0)))
+        sqnorm = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
+        alive = np.zeros(cap, bool)
+        alive[: self._cap] = self._alive
+        dt = _STORAGE_DTYPES[self.storage]
+        row_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        vec_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        self._dev = {
+            "vecs": jax.device_put(jnp.asarray(vf, dtype=dt), row_sh),
+            "sqnorm": jax.device_put(jnp.asarray(sqnorm), vec_sh),
+            "alive": jax.device_put(jnp.asarray(alive), vec_sh),
+        }
+        self._dirty = False
+        return self._dev
+
+    def _search_device(self, q, top_k, max_scans):
+        dev = self._sync()
+        ms = jnp.int32(self._count if max_scans is None else min(max_scans, self._count))
+        fn = self._sharded_fn(top_k)
+        return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
+
+    def _sharded_fn(self, k: int):
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = self._fn_cache = {}
+        if k not in cache:
+            cache[k] = make_sharded_search(self.mesh, self.metric, k, self.compute_dtype)
+        return cache[k]
