@@ -1,0 +1,545 @@
+"""The data-plane request pipeline.
+
+Transport-agnostic rebuild of the reference's ``VectorCommandSet``
+(ref: Extensions/VectorCommandSet.cs) — the component every RESP command and
+HTTP controller routes through. The search flow mirrors the reference's
+call stack (SURVEY §3.1):
+
+    quota → auth → index lookup + dim check → policy.evaluate →
+    cache cascade (L0 exact :210 → L0.5 alias :240-243 → L1 simhash
+    :277-281 → L2 cluster + prefetch :316-386) → SLO shed :426-434 →
+    degraded/budget search options :437-456 → index.search :458 →
+    metadata join/filter :461-481 → cache set L0+L1+L2 :500-539
+
+with the per-request TRACE breakdown (:884-912) and the write/delete paths
+(:557-724). The engine is shared by the RESP server, the HTTP control
+plane, and in-process embedding (`import pyrope_tpu.server`), so tests can
+drive the full pipeline without sockets — the analog of the reference's
+in-process Garnet integration tests (SURVEY §4 pattern 2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+from pyrope_tpu.cache import (
+    CanonicalKeyMap,
+    LshService,
+    MemoryCacheStorage,
+    PolicyEngine,
+    QueryKey,
+    ResultCache,
+    SemanticClusterRegistry,
+    DynamicPolicyEngine,
+)
+from pyrope_tpu.registry import VectorIndexRegistry
+from pyrope_tpu.security import AuthSettings, SessionAuthContext, TenantApiKeyAuthenticator
+from pyrope_tpu.server import errors as ec
+from pyrope_tpu.service import (
+    AuditLogger,
+    BillingLogStore,
+    BillingMeter,
+    MetricsCollector,
+    SloGuardrails,
+    SloGuardrailsOptions,
+    SloMonitor,
+    TenantQuotaEnforcer,
+    TenantRegistry,
+    TenantUserRegistry,
+    VectorRecord,
+    VectorStore,
+    estimate_search_cost,
+)
+from pyrope_tpu.service.cost import is_cluster_close_enough
+from pyrope_tpu.service.prefetch import PredictivePrefetcher, PrefetchBackgroundQueue
+from pyrope_tpu.types import IndexConfig, Metric, SearchOptions, SearchResult
+from pyrope_tpu.utils.clock import SYSTEM_CLOCK, Clock
+from pyrope_tpu.utils.naming import validate_name
+
+
+@dataclasses.dataclass
+class Hit:
+    id: str
+    score: float
+    meta: Optional[dict] = None
+
+
+@dataclasses.dataclass
+class Trace:
+    """Per-request breakdown (ref: VectorCommandSet.cs:884-912 — the TRACE
+    JSON ``{requestId, cacheHit, latencyMs, policyMs, cacheMs, faissMs,
+    metadataMs, budgetAdjustment}``; ``engine_ms`` is our ``faissMs``)."""
+
+    request_id: str = ""
+    cache_hit: bool = False
+    cache_level: str = ""
+    latency_ms: float = 0.0
+    policy_ms: float = 0.0
+    cache_ms: float = 0.0
+    engine_ms: float = 0.0
+    metadata_ms: float = 0.0
+    budget_adjustment: bool = False
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+
+@dataclasses.dataclass
+class SearchResponse:
+    ok: bool
+    hits: list[Hit] = dataclasses.field(default_factory=list)
+    error_code: Optional[str] = None
+    error_message: Optional[str] = None
+    trace: Optional[Trace] = None
+
+
+@dataclasses.dataclass
+class WriteResponse:
+    ok: bool
+    error_code: Optional[str] = None
+    error_message: Optional[str] = None
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    auth: AuthSettings = dataclasses.field(default_factory=AuthSettings)
+    slo: SloGuardrailsOptions = dataclasses.field(default_factory=SloGuardrailsOptions)
+    billing_log_path: Optional[str] = None
+    audit_log_path: Optional[str] = None
+    enable_l1_simhash: bool = True
+    enable_l2_cluster: bool = True
+
+
+class PyropeEngine:
+    """One process-wide engine instance — the analog of the reference's DI
+    singleton graph (ref: Program.cs:85-142)."""
+
+    def __init__(self, config: Optional[EngineConfig] = None, clock: Clock = SYSTEM_CLOCK):
+        self.config = config or EngineConfig()
+        self.clock = clock
+        self.tenants = TenantRegistry()
+        self.users = TenantUserRegistry()
+        self.authenticator = TenantApiKeyAuthenticator(
+            self.tenants, self.users, self.config.auth
+        )
+        self.quota = TenantQuotaEnforcer(self.tenants, clock=clock)
+        self.metrics = MetricsCollector()
+        self.slo = SloGuardrails(self.config.slo)
+        self.slo_monitor = SloMonitor(self.metrics, self.slo)
+        self.billing_log = BillingLogStore(path=self.config.billing_log_path, clock=clock)
+        self.billing = BillingMeter(log_store=self.billing_log, clock=clock)
+        self.audit = AuditLogger(path=self.config.audit_log_path, clock=clock)
+        self.store = VectorStore()
+        self.registry = VectorIndexRegistry()
+        self.cache_storage = MemoryCacheStorage(
+            clock=clock,
+            tenant_quota_mb=self.tenants.quota_cache_mb,
+            on_eviction=self.metrics.record_eviction,
+        )
+        self.result_cache = ResultCache(self.cache_storage, self.registry.get_epoch)
+        self.lsh = LshService()
+        self.clusters = SemanticClusterRegistry(clock=clock)
+        self.canonical = CanonicalKeyMap(clock=clock)
+        self.policy: PolicyEngine = DynamicPolicyEngine()
+        self.prefetcher = PredictivePrefetcher(clock=clock)
+        self.prefetch_queue = PrefetchBackgroundQueue()
+
+    # ------------------------------------------------------------------
+    # auth (ref: VectorCommandSet.cs:726-749 — session ctx ∨ per-command key)
+    # ------------------------------------------------------------------
+
+    def _authenticate(self, tenant: str, api_key: Optional[str]) -> bool:
+        if not self.authenticator.enabled:
+            return True
+        if SessionAuthContext.get_tenant() == tenant:
+            return True
+        if self.authenticator.is_admin_key(api_key):
+            return True
+        return self.authenticator.authenticate(tenant, api_key)
+
+    def _tenant_priority(self, tenant: str) -> int:
+        cfg = self.tenants.try_get(tenant)
+        return 1 if cfg is None else cfg.quotas.priority
+
+    # ------------------------------------------------------------------
+    # VEC.SEARCH (ref: VectorCommandSet.cs:93-555)
+    # ------------------------------------------------------------------
+
+    def search(
+        self,
+        tenant: str,
+        index: str,
+        query: np.ndarray,
+        top_k: int = 10,
+        *,
+        api_key: Optional[str] = None,
+        filter_tags: Sequence[str] = (),
+        with_meta: bool = False,
+        trace: bool = False,
+        request_id: str = "",
+        cache_hint_force: bool = False,
+        options: Optional[SearchOptions] = None,
+    ) -> SearchResponse:
+        t_start = time.perf_counter()
+        tr = Trace(request_id=request_id) if trace else None
+
+        ok, lease, code, msg = self.quota.try_begin_request(tenant)
+        if not ok:
+            return SearchResponse(False, error_code=code, error_message=msg)
+        try:
+            if not self._authenticate(tenant, api_key):
+                return SearchResponse(
+                    False, error_code=ec.VEC_ERR_AUTH, error_message="authentication failed"
+                )
+            state = self.registry.try_get(tenant, index)
+            if state is None:
+                return SearchResponse(
+                    False, error_code=ec.VEC_ERR_NOT_FOUND,
+                    error_message=f"index not found: {tenant}:{index}",
+                )
+            q = np.asarray(query, dtype=np.float32).reshape(-1)
+            if q.shape[0] != state.config.dim:
+                return SearchResponse(
+                    False, error_code=ec.VEC_ERR_DIM,
+                    error_message=f"dim mismatch: expected {state.config.dim}, got {q.shape[0]}",
+                )
+
+            # --- policy (ref :200-204) ---------------------------------
+            t0 = time.perf_counter()
+            key = QueryKey.create(
+                tenant, index, q, top_k, state.config.metric.value, tags=filter_tags
+            )
+            decision = self.policy.evaluate(key)
+            if tr:
+                tr.policy_ms = (time.perf_counter() - t0) * 1000
+
+            # --- cache cascade (ref :210-386) --------------------------
+            stats = state.index.get_stats()
+            proxy_cost = estimate_search_cost(stats)
+            cluster_id: Optional[int] = None
+            hits: Optional[list[SearchResult]] = None
+            level = ""
+            t0 = time.perf_counter()
+            if decision.should_cache:
+                hits = self.result_cache.try_get(key)
+                if hits is not None:
+                    level = "L0"
+                if hits is None:  # L0.5 canonical alias (ref :240-243)
+                    canon = self.canonical.try_get_canonical(key.cache_hash())
+                    if canon is not None:
+                        hits = self.result_cache.try_get_aliased(tenant, index, canon)
+                        if hits is not None:
+                            level = "L0.5"
+                if hits is None and self.config.enable_l1_simhash:  # L1 (ref :277-281)
+                    l1_key = key.with_simhash(int(self.lsh.simhash(q)))
+                    hits = self.result_cache.try_get(l1_key)
+                    if hits is not None:
+                        level = "L1"
+                if hits is None and self.config.enable_l2_cluster:  # L2 (ref :316-386)
+                    near = self.clusters.find_nearest_cluster(tenant, index, q)
+                    if near is not None:
+                        cluster_id, score = near
+                        self.prefetcher.record_interaction(tenant, index, cluster_id)
+                        self._maybe_enqueue_prefetch(tenant, index, cluster_id, top_k)
+                        if is_cluster_close_enough(
+                            score, state.config.metric, proxy_cost
+                        ):
+                            l2_key = key.with_cluster(cluster_id)
+                            hits = self.result_cache.try_get(l2_key)
+                            if hits is not None:
+                                level = "L2"
+            if tr:
+                tr.cache_ms = (time.perf_counter() - t0) * 1000
+
+            if hits is not None:
+                self.metrics.record_hit()
+                self.billing.record_request(tenant, cache_hit=True)
+                out = self._join_meta(tenant, index, hits, filter_tags, with_meta, top_k, tr)
+                if tr:
+                    tr.cache_hit = True
+                    tr.cache_level = level
+                    tr.latency_ms = (time.perf_counter() - t_start) * 1000
+                self.metrics.record_search_latency((time.perf_counter() - t_start) * 1000)
+                return SearchResponse(True, hits=out, trace=tr)
+
+            # --- miss path: SLO shed (ref :426-434) ---------------------
+            self.metrics.record_miss()
+            priority = self._tenant_priority(tenant)
+            if cache_hint_force or self.slo.should_force_cache_only(priority):
+                self.billing.record_request(tenant, cache_hit=False)
+                return SearchResponse(
+                    False, error_code=ec.VEC_ERR_BUSY,
+                    error_message="degraded: cache-only mode for this tenant",
+                )
+
+            # --- search options: degraded + budget (ref :437-456) -------
+            opts = options or SearchOptions()
+            opts = self.slo.get_search_options(opts, priority)
+            self.billing.record_compute(tenant, proxy_cost)
+            self.quota.record_cost(tenant, proxy_cost)
+            if self.quota.is_over_budget(tenant):
+                cap = stats.count // 2 if stats.count > 0 else 0
+                ms = cap if opts.max_scans is None else min(opts.max_scans, cap)
+                opts = dataclasses.replace(opts, max_scans=ms)
+                if tr:
+                    tr.budget_adjustment = True
+
+            # --- ★ the hot loop (ref :458) ------------------------------
+            t0 = time.perf_counter()
+            raw = state.index.search(q, top_k, opts)
+            if tr:
+                tr.engine_ms = (time.perf_counter() - t0) * 1000
+
+            out = self._join_meta(tenant, index, raw, filter_tags, with_meta, top_k, tr)
+            self.billing.record_request(tenant, cache_hit=False)
+
+            # --- cache set L0 + L1 + L2 (ref :500-539) ------------------
+            if decision.should_cache:
+                cacheable = [SearchResult(h.id, h.score) for h in out]
+                self.result_cache.set(key, cacheable, decision.ttl_seconds)
+                if self.config.enable_l1_simhash:
+                    self.result_cache.set(
+                        key.with_simhash(int(self.lsh.simhash(q))),
+                        cacheable, decision.ttl_seconds,
+                    )
+                if self.config.enable_l2_cluster and cluster_id is not None:
+                    ttl = self.clusters.get_recommended_ttl(
+                        tenant, index, cluster_id, decision.ttl_seconds
+                    )
+                    self.result_cache.set(key.with_cluster(cluster_id), cacheable, ttl)
+
+            if tr:
+                tr.latency_ms = (time.perf_counter() - t_start) * 1000
+            self.metrics.record_search_latency((time.perf_counter() - t_start) * 1000)
+            return SearchResponse(True, hits=out, trace=tr)
+        finally:
+            if lease is not None:
+                lease.release()
+
+    def _join_meta(
+        self,
+        tenant: str,
+        index: str,
+        raw: list[SearchResult],
+        filter_tags: Sequence[str],
+        with_meta: bool,
+        top_k: int,
+        tr: Optional[Trace],
+    ) -> list[Hit]:
+        """Metadata join + tag filter + deleted skip (ref :461-481)."""
+        t0 = time.perf_counter()
+        want = set(filter_tags)
+        out: list[Hit] = []
+        for r in raw:
+            rec = self.store.try_get(tenant, index, r.id)
+            if rec is None:
+                continue  # deleted after indexing
+            if want and not want.issubset(set(rec.tags)):
+                continue
+            out.append(Hit(r.id, r.score, rec.meta if with_meta else None))
+            if len(out) >= top_k:
+                break
+        if tr:
+            tr.metadata_ms = (time.perf_counter() - t0) * 1000
+        return out
+
+    def _maybe_enqueue_prefetch(
+        self, tenant: str, index: str, cluster_id: int, top_k: int
+    ) -> None:
+        """Warm the predicted next cluster off the hot path
+        (ref: VectorCommandSet.cs:321-377 via PrefetchBackgroundQueue)."""
+        nxt = self.prefetcher.get_prediction(tenant, index, cluster_id)
+        if nxt is None:
+            return
+        cents = self.clusters.get_centroids(tenant, index)
+        if cents is None or not (0 <= nxt < len(cents)):
+            return
+        centroid = np.array(cents[nxt], copy=True)
+
+        def work():
+            state = self.registry.try_get(tenant, index)
+            if state is None:
+                return
+            raw = state.index.search(centroid, top_k)
+            key = QueryKey.create(
+                tenant, index, centroid, top_k, state.config.metric.value,
+                cluster_id=nxt,
+            )
+            self.result_cache.set(key, raw, self.policy.evaluate(key).ttl_seconds)
+
+        self.prefetch_queue.try_enqueue(work)
+
+    # ------------------------------------------------------------------
+    # VEC.ADD / VEC.UPSERT (ref: VectorCommandSet.cs:557-655)
+    # ------------------------------------------------------------------
+
+    def add(
+        self,
+        tenant: str,
+        index: str,
+        id: str,
+        vector: np.ndarray,
+        *,
+        api_key: Optional[str] = None,
+        meta: Optional[dict] = None,
+        tags: Sequence[str] = (),
+        numeric_fields: Optional[dict[str, float]] = None,
+        upsert: bool = False,
+    ) -> WriteResponse:
+        ok, lease, code, msg = self.quota.try_begin_request(tenant)
+        if not ok:
+            return WriteResponse(False, code, msg)
+        try:
+            if not self._authenticate(tenant, api_key):
+                return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
+            validate_name(tenant, "tenant")
+            validate_name(index, "index")
+            v = np.asarray(vector, dtype=np.float32).reshape(-1)
+            try:
+                state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
+                    tenant, index, dim=v.shape[0]
+                )
+            except ValueError as e:
+                return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
+            if v.shape[0] != state.config.dim:
+                return WriteResponse(
+                    False, ec.VEC_ERR_DIM,
+                    f"dim mismatch: expected {state.config.dim}, got {v.shape[0]}",
+                )
+            record = VectorRecord(
+                id=id, vector=v, meta=meta, tags=tuple(tags),
+                numeric_fields=numeric_fields,
+            )
+            if upsert:
+                delta = self.store.upsert(tenant, index, record)
+                state.index.upsert(id, v)
+                self.billing.record_vector_bytes(tenant, delta)
+            else:
+                if not self.store.try_add(tenant, index, record):
+                    return WriteResponse(
+                        False, ec.VEC_ERR_NOT_FOUND, f"id already exists: {id}"
+                    )
+                if not state.index.add(id, v):
+                    state.index.upsert(id, v)  # tombstoned id resurrected
+                self.billing.record_vector_bytes(tenant, record.nbytes())
+            # write-heat for Semantic TTL (ref :636)
+            near = self.clusters.find_nearest_cluster(tenant, index, v)
+            if near is not None:
+                self.clusters.record_write(tenant, index, near[0])
+            # epoch bump invalidates every cached result (ref :638)
+            self.registry.increment_epoch(tenant, index)
+            return WriteResponse(True)
+        finally:
+            if lease is not None:
+                lease.release()
+
+    def add_batch(
+        self,
+        tenant: str,
+        index: str,
+        ids: Sequence[str],
+        vectors: np.ndarray,
+        *,
+        api_key: Optional[str] = None,
+    ) -> WriteResponse:
+        """Bulk load (TPU-first addition: one device transfer, one epoch
+        bump — the reference can only stream single VEC.UPSERTs)."""
+        if not self._authenticate(tenant, api_key):
+            return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
+        vs = np.asarray(vectors, dtype=np.float32)
+        if vs.ndim != 2 or len(ids) != vs.shape[0]:
+            return WriteResponse(False, ec.VEC_ERR_DIM, "ids/vectors shape mismatch")
+        try:
+            state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
+                tenant, index, dim=vs.shape[1]
+            )
+        except ValueError as e:
+            return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
+        if vs.shape[1] != state.config.dim:
+            return WriteResponse(False, ec.VEC_ERR_DIM, "dim mismatch")
+        total = 0
+        for i, v in zip(ids, vs):
+            if self.store.try_add(tenant, index, VectorRecord(id=i, vector=v)):
+                total += v.nbytes + len(i)
+        state.index.add_batch(ids, vs)
+        self.billing.record_vector_bytes(tenant, total)
+        self.registry.increment_epoch(tenant, index)
+        return WriteResponse(True)
+
+    # ------------------------------------------------------------------
+    # VEC.DEL (ref: VectorCommandSet.cs:657-724)
+    # ------------------------------------------------------------------
+
+    def delete(
+        self, tenant: str, index: str, id: str, *, api_key: Optional[str] = None
+    ) -> WriteResponse:
+        ok, lease, code, msg = self.quota.try_begin_request(tenant)
+        if not ok:
+            return WriteResponse(False, code, msg)
+        try:
+            if not self._authenticate(tenant, api_key):
+                return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
+            state = self.registry.try_get(tenant, index)
+            if state is None:
+                return WriteResponse(False, ec.VEC_ERR_NOT_FOUND, "index not found")
+            found = self.store.try_mark_deleted(tenant, index, id)
+            state.index.delete(id)
+            if not found:
+                return WriteResponse(False, ec.VEC_ERR_NOT_FOUND, f"id not found: {id}")
+            self.registry.increment_epoch(tenant, index)
+            return WriteResponse(True)
+        finally:
+            if lease is not None:
+                lease.release()
+
+    # ------------------------------------------------------------------
+    # VEC.STATS (ref: VectorCommandSet.cs:104-133) + control-plane ops
+    # ------------------------------------------------------------------
+
+    def stats(self, tenant: str, index: str) -> Optional[dict]:
+        state = self.registry.try_get(tenant, index)
+        if state is None:
+            return None
+        s = state.index.get_stats()
+        m = self.metrics.get_snapshot()
+        return {
+            "count": s.count,
+            "dim": s.dim,
+            "metric": s.metric.value,
+            "algorithm": state.config.algorithm,
+            "epoch": state.epoch,
+            "cache_hits": m.hits,
+            "cache_misses": m.misses,
+            "searches": m.searches,
+        }
+
+    def create_index(self, tenant: str, index: str, config: IndexConfig):
+        validate_name(tenant, "tenant")
+        validate_name(index, "index")
+        return self.registry.create(tenant, index, config)
+
+    def build_index(self, tenant: str, index: str) -> bool:
+        """Compaction + centroid auto-sync + epoch bump
+        (ref: Controllers/IndexController.cs:80-123)."""
+        state = self.registry.try_get(tenant, index)
+        if state is None:
+            return False
+        state.index.build()
+        cents = state.index.get_centroids()
+        if cents is not None:
+            self.clusters.update_centroids(tenant, index, cents, state.config.metric)
+        self.registry.increment_epoch(tenant, index)
+        return True
+
+    def tick_background(self) -> None:
+        """One iteration of the periodic work the reference runs in hosted
+        services (ref: Program.cs:143-168): SLO monitor, prefetch flush,
+        prefetch work queue, alias cleanup."""
+        self.slo_monitor.tick()
+        self.prefetcher.tick()
+        self.prefetch_queue.run_pending()
+        self.canonical.cleanup_expired()
