@@ -112,6 +112,9 @@ class EngineConfig:
     audit_log_path: Optional[str] = None
     enable_l1_simhash: bool = True
     enable_l2_cluster: bool = True
+    # snapshot/load are confined to this directory (path-safety check,
+    # ref: Controllers/IndexController.cs:298-309)
+    snapshot_dir: str = "snapshots"
 
 
 class PyropeEngine:
@@ -534,6 +537,61 @@ class PyropeEngine:
             self.clusters.update_centroids(tenant, index, cents, state.config.metric)
         self.registry.increment_epoch(tenant, index)
         return True
+
+    def _safe_snapshot_path(self, path: str) -> str:
+        """Confine snapshot paths to the snapshot dir
+        (ref: IndexController.cs:298-309)."""
+        import os
+
+        base = os.path.abspath(self.config.snapshot_dir)
+        full = os.path.abspath(os.path.join(base, path))
+        if not (full == base or full.startswith(base + os.sep)):
+            raise ValueError(f"path escapes snapshot dir: {path!r}")
+        os.makedirs(os.path.dirname(full) or base, exist_ok=True)
+        return full
+
+    def snapshot_index(self, tenant: str, index: str, path: str) -> Optional[int]:
+        """Persist; returns snapshot bytes (billed,
+        ref: IndexController.cs:125-176). None if index missing."""
+        import os
+
+        state = self.registry.try_get(tenant, index)
+        if state is None:
+            return None
+        full = self._safe_snapshot_path(path)
+        state.index.snapshot(full)
+        nbytes = 0
+        for p in (full, full + ".head", full + ".tail"):
+            if os.path.exists(p):
+                nbytes += os.path.getsize(p)
+        self.billing.record_snapshot(tenant, nbytes)
+        return nbytes
+
+    def load_index(self, tenant: str, index: str, path: str) -> bool:
+        """Restore + epoch bump (ref: IndexController.cs:178-228)."""
+        state = self.registry.try_get(tenant, index)
+        if state is None:
+            return False
+        state.index.load(self._safe_snapshot_path(path))
+        self.registry.increment_epoch(tenant, index)
+        return True
+
+    def push_centroids(self, tenant: str, index: str, centroids: np.ndarray) -> bool:
+        """External centroid push + epoch bump (the sidecar's
+        SemanticModelTrainer posts here; ref: IndexController.cs:251-292)."""
+        state = self.registry.try_get(tenant, index)
+        if state is None:
+            return False
+        self.clusters.update_centroids(tenant, index, centroids, state.config.metric)
+        self.registry.increment_epoch(tenant, index)
+        return True
+
+    def flush_cache(self) -> int:
+        return self.cache_storage.clear()
+
+    def invalidate_cache(self, tenant: str, index: Optional[str] = None) -> int:
+        prefix = f"cache:{tenant}:{index}:" if index else f"cache:{tenant}:"
+        return self.cache_storage.remove_by_prefix(prefix)
 
     def tick_background(self) -> None:
         """One iteration of the periodic work the reference runs in hosted
