@@ -23,8 +23,6 @@ from pyrope_tpu.types import (
     IndexConfig,
     IndexParams,
 )
-from pyrope_tpu.index.base import VectorIndex, CentroidsProvider
-from pyrope_tpu.index.flat import FlatIndex
 
 __version__ = "0.1.0"
 
@@ -41,8 +39,14 @@ __all__ = [
 ]
 
 
-def __getattr__(name):  # lazy imports keep startup light as families land
+def __getattr__(name):
+    # ALL index classes import lazily: importing the bare package must not
+    # pull in jax (sidecar/CLI processes would otherwise initialize the TPU
+    # backend and contend for the exclusive chip with the serving process).
     lazy = {
+        "FlatIndex": "pyrope_tpu.index.flat",
+        "VectorIndex": "pyrope_tpu.index.base",
+        "CentroidsProvider": "pyrope_tpu.index.base",
         "IvfFlatIndex": "pyrope_tpu.index.ivf_flat",
         "IvfPqIndex": "pyrope_tpu.index.ivf_pq",
         "HnswIndex": "pyrope_tpu.index.hnsw",

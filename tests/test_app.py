@@ -1,0 +1,110 @@
+"""Full-stack smoke test: sidecar + server in one process group.
+
+Mirror of the reference's E2E smoke test + warm-path loop coverage
+(SURVEY §4: tests/smoke_test.py drives a launched server over redis-py;
+SidecarMetricsReporter applies returned policies)."""
+
+import asyncio
+import threading
+
+import numpy as np
+import pytest
+
+from pyrope_tpu.security import AuthSettings
+from pyrope_tpu.server.app import PyropeApp, SidecarMetricsReporter
+from pyrope_tpu.server.engine import EngineConfig
+from pyrope_tpu.server.resp_client import RespClient
+from pyrope_tpu.sidecar.server import serve
+from pyrope_tpu.utils.parsing import encode_vector
+
+
+@pytest.fixture(scope="module")
+def stack(tmp_path_factory):
+    sidecar_server, sidecar_port, sidecar_svc = serve(
+        port=0, data_dir=str(tmp_path_factory.mktemp("sidecar"))
+    )
+    app = PyropeApp(
+        config=EngineConfig(auth=AuthSettings(enabled=False)),
+        resp_port=0,
+        http_port=0,
+        sidecar_endpoint=f"127.0.0.1:{sidecar_port}",
+    )
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(app.start())
+        started.set()
+        loop.run_forever()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    started.wait(15)
+    yield app, sidecar_svc
+    asyncio.run_coroutine_threadsafe(app.stop(), loop).result(10)
+    loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=5)
+    sidecar_server.stop(0)
+
+
+def test_smoke_resp_flow(stack):
+    app, _ = stack
+    rng = np.random.default_rng(1)
+    vecs = rng.random((50, 16), dtype=np.float32)
+    with RespClient("127.0.0.1", app.resp.port) as c:
+        assert c.ping()
+        for i in range(50):
+            assert c.vec_add("smoke", "idx", f"v{i}", encode_vector(vecs[i])) == "VEC_OK"
+        hits = c.vec_search("smoke", "idx", encode_vector(vecs[13]), 3)
+        assert hits[0][0] == "v13"
+        assert c.vec_del("smoke", "idx", "v13") == "VEC_OK"
+        hits = c.vec_search("smoke", "idx", encode_vector(vecs[13]), 3)
+        assert all(h[0] != "v13" for h in hits)
+
+
+def test_warm_path_reporter_applies_policy(stack):
+    app, sidecar_svc = stack
+    reporter = SidecarMetricsReporter(app.engine, app.sidecar_client)
+    # seed traffic so deltas exist, with heavy misses -> aggressive policy
+    for _ in range(20):
+        app.engine.metrics.record_miss()
+        app.engine.metrics.record_search_latency(80.0)
+    assert reporter.tick() is None  # first tick establishes the baseline
+    for _ in range(50):
+        app.engine.metrics.record_miss()
+        app.engine.metrics.record_search_latency(80.0)
+    out = reporter.tick()
+    assert out is not None
+    # miss rate 1.0 > 0.5 -> heuristic aggressive ttl 300 (possibly bandit-halved)
+    ttl = app.engine.policy.store.current.default_ttl_seconds
+    assert ttl in (300.0, 150.0)
+    assert reporter.interval_s == 10.0  # server-advertised cadence
+
+
+def test_reporter_fallback_when_sidecar_down(stack):
+    app, _ = stack
+    from pyrope_tpu.sidecar.client import PolicyServiceClient
+
+    dead = PolicyServiceClient("127.0.0.1:1")
+    reporter = SidecarMetricsReporter(app.engine, dead)
+    before = app.engine.metrics.get_snapshot().ai_fallbacks
+    app.engine.metrics.record_search_latency(5.0)
+    reporter.tick()  # baseline
+    app.engine.metrics.record_search_latency(5.0)
+    reporter.tick()
+    assert app.engine.metrics.get_snapshot().ai_fallbacks > before
+    dead.close()
+
+
+def test_prefetcher_uses_grpc_client(stack):
+    app, sidecar_svc = stack
+    # teach the sidecar a transition t:i 1 -> 2
+    for _ in range(4):
+        app.engine.prefetcher.record_interaction("pf", "idx", 1)
+        app.engine.prefetcher.record_interaction("pf", "idx", 2)
+    app.engine.prefetcher.tick()  # flush access events
+    # force rules refresh regardless of the 60 s gate
+    app.engine.prefetcher._rules_refreshed_at = 0.0
+    app.engine.prefetcher.tick()
+    assert app.engine.prefetcher.get_prediction("pf", "idx", 1) == 2
