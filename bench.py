@@ -40,6 +40,12 @@ BASELINES = {
     "hnsw10k": None,       # reference publishes no HNSW QPS for this shape
     "ivfpq100k": None,
     "delta20k": None,
+    # the reference's 1M-vector run STALLED at 93% load and published no
+    # number (docs/benchmarks/20260118_benchmark_500k_ivf.md:43-55); these
+    # configs exist to demonstrate the scale headroom
+    "flat1m": None,
+    "flat1m_approx": None,
+    "flat100k_approx": None,
 }
 
 CONFIGS = {
@@ -53,6 +59,9 @@ CONFIGS = {
     "ivfpq100k": ("IVF_PQ", 100_000, 128, {"nlist": 100, "pq_m": 4, "ksub": 256}),
     "hnsw10k": ("HNSW", 10_000, 128, {"m": 16, "ef_construction": 200, "ef_search": 50}),
     "delta20k": ("DELTA", 20_000, 128, {}),
+    "flat1m": ("FLAT", 1_000_000, 128, {}),
+    "flat100k_approx": ("FLAT_APPROX", 100_000, 128, {}),
+    "flat1m_approx": ("FLAT_APPROX", 1_000_000, 128, {}),
 }
 
 
@@ -65,6 +74,9 @@ def build_index(algo: str, dim: int, kwargs: dict):
 
     if algo == "FLAT":
         return pt.FlatIndex(dim, "L2")
+    if algo == "FLAT_APPROX":
+        # bf16 slab + PartialReduce top-k: the full-throughput TPU scan
+        return pt.FlatIndex(dim, "L2", storage="bf16", selection="approx:0.95")
     if algo == "FLAT_SQ8":
         return pt.FlatIndex(dim, "L2", storage="sq8")
     if algo == "IVF_FLAT":
@@ -117,31 +129,38 @@ def run_config(name: str, batch: int, topk: int, n_queries: int, duration_s: flo
     n_slices = max(len(queries) // batch, 1)
     q_dev = jnp.asarray(queries[: n_slices * batch].reshape(n_slices, batch, dim))
 
-    # warmup / compile
-    v, r = idx.device_search(q_dev[0], topk, opts)
-    jax.block_until_ready((v, r))
+    def fetch(out):
+        # NOTE: on the tunneled axon backend jax.block_until_ready returns
+        # before remote execution finishes; only a D2H fetch is a true
+        # completion barrier. Single-chip execution is in-order, so fetching
+        # the LAST result fences every earlier dispatch.
+        return np.asarray(out[0])
 
-    # Throughput: pipelined async dispatch, block once at the end. This is
-    # the TPU analog of the reference's 4 concurrent client workers
+    # warmup / compile
+    fetch(idx.device_search(q_dev[0], topk, opts))
+
+    # Throughput: pipelined async dispatch, one completion fence at the end.
+    # This is the TPU analog of the reference's 4 concurrent client workers
     # (ref Program.cs :344-396) — outstanding requests keep the device busy.
     calib_iters = 32
     t0 = time.perf_counter()
     outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(calib_iters)]
-    jax.block_until_ready(outs[-1])
+    fetch(outs[-1])
     per_iter = (time.perf_counter() - t0) / calib_iters
     iters = max(calib_iters, min(int(duration_s / per_iter), 20000))
     t0 = time.perf_counter()
     outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(iters)]
-    jax.block_until_ready(outs[-1])
+    fetch(outs[-1])
     total_s = time.perf_counter() - t0
     qps = iters * batch / total_s
 
-    # Latency: per-batch blocking round trip (includes host<->device link;
-    # on the tunneled dev TPU this is dominated by ~35 ms RTT).
+    # Latency: per-batch blocking round trip incl. result fetch (on the
+    # tunneled dev TPU this is dominated by ~30 ms network RTT; co-located
+    # serving pays PCIe microseconds instead).
     lat_ms = []
     for i in range(30):
         t0 = time.perf_counter()
-        jax.block_until_ready(idx.device_search(q_dev[i % n_slices], topk, opts))
+        fetch(idx.device_search(q_dev[i % n_slices], topk, opts))
         lat_ms.append((time.perf_counter() - t0) * 1e3)
     summary = LatencySummary.from_samples(lat_ms)
 

@@ -26,6 +26,8 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+
+from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 
 from pyrope_tpu.index.base import VectorIndex
@@ -44,7 +46,7 @@ _STORAGE_DTYPES = {"fp32": jnp.float32, "bf16": jnp.bfloat16}
 
 
 @functools.lru_cache(maxsize=None)
-def _dense_search_fn(metric: Metric, k: int, compute: str | None):
+def _dense_search_fn(metric: Metric, k: int, compute: str | None, selection: str = "exact"):
     """Jitted masked score+top-k over a dense slab. Cache key excludes shapes
     (jit re-specializes per shape); this cache just avoids re-tracing setup."""
 
@@ -55,13 +57,13 @@ def _dense_search_fn(metric: Metric, k: int, compute: str | None):
         scores = score_matrix(q, vecs, metric, x_sqnorm=sqnorm, compute_dtype=cdtype)
         row = jax.lax.broadcasted_iota(jnp.int32, (vecs.shape[0], 1), 0)[:, 0]
         mask = alive & (row < max_scans)
-        return masked_topk(scores, mask[None, :], k)
+        return masked_topk(scores, mask[None, :], k, selection)
 
     return fn
 
 
 @functools.lru_cache(maxsize=None)
-def _sq8_search_fn(metric: Metric, k: int, compute: str | None):
+def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str = "exact"):
     """Jitted SQ8 scan: int8 codes + per-vector (min, scale) affine
     reconstruction folded into the matmul epilogue."""
 
@@ -88,7 +90,7 @@ def _sq8_search_fn(metric: Metric, k: int, compute: str | None):
             scores = dots / jnp.maximum(qn[:, None] * xn[None, :], 1e-12)
         row = jax.lax.broadcasted_iota(jnp.int32, (codes.shape[0], 1), 0)[:, 0]
         mask = alive & (row < max_scans)
-        return masked_topk(scores, mask[None, :], k)
+        return masked_topk(scores, mask[None, :], k, selection)
 
     return fn
 
@@ -115,14 +117,19 @@ class FlatIndex(VectorIndex):
         *,
         storage: str = "fp32",  # fp32 | bf16 | sq8
         compute_dtype: Optional[str] = None,
+        selection: str = "exact",  # exact | approx[:recall] (lax.approx_max_k)
         min_capacity: int = 1024,
     ):
         if storage not in ("fp32", "bf16", "sq8"):
             raise ValueError(f"storage must be fp32|bf16|sq8, got {storage}")
+        from pyrope_tpu.ops.topk import parse_selection
+
+        parse_selection(selection)  # validate eagerly
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.storage = storage
         self.compute_dtype = compute_dtype
+        self.selection = selection
         self._min_cap = min_capacity
 
         self._cap = capacity_bucket(0, min_capacity)
@@ -257,12 +264,12 @@ class FlatIndex(VectorIndex):
         """Device-level query: q [B, D] -> (scores [B, k], rows [B, k]).
         Rows are slab positions; -1 marks missing hits."""
         dev = self._sync()
-        ms = jnp.int32(self._count if max_scans is None else min(max_scans, self._count))
+        ms = device_i32(self._count if max_scans is None else min(max_scans, self._count))
         if self.storage == "sq8":
-            fn = _sq8_search_fn(self.metric, top_k, self.compute_dtype)
+            fn = _sq8_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
             return fn(dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
                       dev["alive"], q, ms)
-        fn = _dense_search_fn(self.metric, top_k, self.compute_dtype)
+        fn = _dense_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 
     def device_search(
@@ -345,7 +352,8 @@ class FlatIndex(VectorIndex):
             ids = [str(s) for s in z["ids"]]
             vecs = np.asarray(z["vecs"], np.float32)
         self.__init__(self.dim, self.metric, storage=self.storage,
-                      compute_dtype=self.compute_dtype, min_capacity=self._min_cap)
+                      compute_dtype=self.compute_dtype, selection=self.selection,
+                      min_capacity=self._min_cap)
         if ids:
             self.add_batch(ids, vecs)
 

@@ -36,6 +36,8 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+
+from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 
 from pyrope_tpu.index.base import VectorIndex
@@ -360,6 +362,57 @@ class HnswIndex(VectorIndex):
             self._adj_at(level)
         return True
 
+    def add_batch(self, ids, vectors) -> int:
+        """Bulk build. When the index is empty and all ids are new, the
+        whole graph is constructed by the native C++ builder
+        (native/hnsw_builder.cc) — same algorithm and level distribution as
+        the incremental path, ~100x faster than per-row Python inserts.
+        Falls back to per-row adds otherwise (or without a toolchain)."""
+        vecs = np.asarray(vectors, np.float32)
+        if (
+            self._count > 0
+            or vecs.ndim != 2
+            or vecs.shape[1] != self.dim
+            or len(set(ids)) != len(ids)
+        ):
+            return super().add_batch(ids, vecs)
+        from pyrope_tpu.native import hnsw_build_native
+
+        n = vecs.shape[0]
+        if self.metric == Metric.COSINE:
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = np.where(norms > 1e-12, vecs / np.maximum(norms, 1e-12), vecs)
+        # same geometric level draw as add() (ref :351-357)
+        u = np.maximum(self._rng.random(n), 1e-12)
+        levels = (-np.log(u) * self._ml).astype(np.int32)
+        built = hnsw_build_native(
+            vecs, levels, self.m, self.ef_construction,
+            metric_is_l2=(self.metric == Metric.L2),
+        )
+        if built is None:
+            return super().add_batch(ids, vecs)
+        adj0, adj_up, entry, top_level = built
+        self._grow(n)
+        self._vecs[:n] = vecs
+        self._alive[:n] = True
+        self._levels[:n] = levels
+        self._adj0[:n] = adj0
+        cap = self._vecs.shape[0]
+        self._adj_up = []
+        for lev in range(adj_up.shape[0]):
+            a = np.full((cap, self.m), -1, np.int32)
+            a[:n] = adj_up[lev]
+            self._adj_up.append(a)
+        for row, i in enumerate(ids):
+            self._row_ids[row] = i
+            self._id_to_row[i] = row
+        self._count = n
+        self._live = n
+        self._entry = entry
+        self._top_level = top_level
+        self._dirty = True
+        return n
+
     def upsert(self, id: str, vector: np.ndarray) -> None:
         row = self._id_to_row.get(id)
         if row is None:
@@ -430,7 +483,7 @@ class HnswIndex(VectorIndex):
         fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
         return fn(
             dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
-            jnp.int32(self._entry), q,
+            device_i32(self._entry), q,
         )
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
@@ -470,7 +523,7 @@ class HnswIndex(VectorIndex):
         fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
         vals, rows = fn(
             dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
-            jnp.int32(self._entry), jnp.asarray(qp),
+            device_i32(self._entry), jnp.asarray(qp),
         )
         vals = np.asarray(vals[:b])
         rows = np.asarray(rows[:b])

@@ -28,6 +28,8 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+
+from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
@@ -268,7 +270,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         fn = _ivf_search_fn(self.metric, top_k, nprobe, dev["l_pad"], self.compute_dtype)
         return fn(
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"], dev["alive"],
-            dev["offsets"], dev["lens"], q, jnp.int32(ms),
+            dev["offsets"], dev["lens"], q, device_i32(ms),
         )
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
@@ -307,7 +309,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         fn = _ivf_search_fn(self.metric, top_k, nprobe, dev["l_pad"], self.compute_dtype)
         vals, rows = fn(
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"], dev["alive"],
-            dev["offsets"], dev["lens"], jnp.asarray(qp), jnp.int32(ms),
+            dev["offsets"], dev["lens"], jnp.asarray(qp), device_i32(ms),
         )
         vals = np.asarray(vals[:b])
         rows = np.asarray(rows[:b])

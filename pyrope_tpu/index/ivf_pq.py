@@ -32,6 +32,8 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
+
+from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
@@ -270,7 +272,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"])
         return fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
-            dev["offsets"], dev["lens"], dev["codebooks"], q, jnp.int32(ms),
+            dev["offsets"], dev["lens"], dev["codebooks"], q, device_i32(ms),
         )
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
@@ -311,7 +313,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         vals, rows = fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
             dev["offsets"], dev["lens"], dev["codebooks"],
-            jnp.asarray(qp), jnp.int32(ms),
+            jnp.asarray(qp), device_i32(ms),
         )
         vals = np.asarray(vals[:b])
         rows = np.asarray(rows[:b])

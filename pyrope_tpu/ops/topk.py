@@ -14,21 +14,43 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def parse_selection(selection: str) -> tuple[str, float]:
+    """'exact' | 'approx' | 'approx:<recall>' -> (mode, recall_target)."""
+    if selection == "exact":
+        return "exact", 1.0
+    if selection.startswith("approx"):
+        _, _, rt = selection.partition(":")
+        return "approx", float(rt) if rt else 0.95
+    raise ValueError(f"selection must be exact|approx[:recall], got {selection!r}")
+
+
 def masked_topk(
     scores: jax.Array,
     mask: jax.Array | None,
     k: int,
+    selection: str = "exact",
 ) -> tuple[jax.Array, jax.Array]:
     """Top-k of scores[b, n] over valid columns.
 
     mask: [N] or [B, N] bool — True = candidate is live. Masked-out entries
     get -inf scores (callers detect missing hits via -inf).
+
+    selection: 'exact' uses ``lax.top_k``; 'approx[:recall]' uses the TPU
+    PartialReduce-based ``lax.approx_max_k`` — on a v5e it fuses into the
+    score matmul's epilogue and is 2-60x faster at N ≥ 100k for a measured
+    recall ≥ its target (the idiomatic TPU trade the reference can't make;
+    cf. its lossy SQ8 trade at docs/benchmarks/20260118_p10_14_*.md).
+
     Returns (values [B, k], indices [B, k]) sorted descending.
     """
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
     k_eff = min(k, scores.shape[-1])
-    vals, idx = jax.lax.top_k(scores, k_eff)
+    mode, recall_target = parse_selection(selection)
+    if mode == "approx" and scores.shape[-1] > 1024:
+        vals, idx = jax.lax.approx_max_k(scores, k_eff, recall_target=recall_target)
+    else:
+        vals, idx = jax.lax.top_k(scores, k_eff)
     if k_eff < k:
         pad = k - k_eff
         vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)

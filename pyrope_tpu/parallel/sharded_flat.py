@@ -15,6 +15,8 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -140,7 +142,7 @@ class ShardedFlatIndex(FlatIndex):
 
     def _search_device(self, q, top_k, max_scans):
         dev = self._sync()
-        ms = jnp.int32(self._count if max_scans is None else min(max_scans, self._count))
+        ms = device_i32(self._count if max_scans is None else min(max_scans, self._count))
         fn = self._sharded_fn(top_k)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 

@@ -165,3 +165,59 @@ def test_scan_exports_live_entries():
     assert len(entries) == 9
     assert "v2" not in entries
     np.testing.assert_allclose(entries["v5"], vecs[5])
+
+
+class TestApproxSelection:
+    """lax.approx_max_k selection mode (TPU PartialReduce top-k)."""
+
+    def test_approx_matches_exact_on_small_n(self):
+        # N <= 1024 falls back to exact top_k inside masked_topk
+        import numpy as np
+        from pyrope_tpu.index.flat import FlatIndex
+
+        rng = np.random.default_rng(0)
+        vecs = rng.random((200, 16), dtype=np.float32)
+        exact = FlatIndex(16, "L2")
+        approx = FlatIndex(16, "L2", selection="approx:0.95")
+        ids = [f"v{i}" for i in range(200)]
+        exact.add_batch(ids, vecs)
+        approx.add_batch(ids, vecs)
+        q = vecs[:4]
+        r1 = exact.search_batch(q, 5)
+        r2 = approx.search_batch(q, 5)
+        assert [[h.id for h in row] for row in r1] == [[h.id for h in row] for row in r2]
+
+    def test_approx_recall_large_n(self):
+        import numpy as np
+        from pyrope_tpu.index.flat import FlatIndex
+        from pyrope_tpu.utils.datasets import ground_truth, recall_at_k
+
+        rng = np.random.default_rng(1)
+        n = 8192
+        vecs = rng.random((n, 32), dtype=np.float32)
+        idx = FlatIndex(32, "L2", storage="bf16", selection="approx:0.95")
+        idx.add_batch([str(i) for i in range(n)], vecs)
+        q = rng.random((16, 32), dtype=np.float32)
+        res = idx.search_batch(q, 10)
+        truth = ground_truth(vecs, q, 10, "L2")
+        ids = np.array([[int(h.id) for h in row] + [-1] * (10 - len(row)) for row in res])
+        assert recall_at_k(ids, truth, 10) >= 0.8  # bf16 scores + approx select
+
+    def test_invalid_selection_rejected(self):
+        import pytest
+        from pyrope_tpu.index.flat import FlatIndex
+
+        with pytest.raises(ValueError):
+            FlatIndex(8, "L2", selection="bogus")
+
+    def test_snapshot_preserves_selection(self, tmp_path):
+        import numpy as np
+        from pyrope_tpu.index.flat import FlatIndex
+
+        idx = FlatIndex(8, "L2", selection="approx:0.9")
+        idx.add("a", np.ones(8, np.float32))
+        p = str(tmp_path / "s.npz")
+        idx.snapshot(p)
+        idx.load(p)
+        assert idx.selection == "approx:0.9"
+        assert idx.search(np.ones(8, np.float32), 1)[0].id == "a"
