@@ -326,3 +326,22 @@ class TestCostAndUtils:
         assert np.allclose(parse_vector(encode_vector(v), expected_dim=3), v)
         with pytest.raises(ValueError):
             parse_vector(b"{json object}")
+
+
+class TestIndexMetadataManager:
+    def test_roundtrip_and_persistence(self, tmp_path):
+        from pyrope_tpu.service.index_metadata import IndexMetadataManager
+        from pyrope_tpu.types import IndexConfig, IndexParams
+
+        p = tmp_path / "meta.json"
+        mm = IndexMetadataManager(p)
+        cfg = IndexConfig(dim=64, algorithm="HNSW", params=IndexParams(m=8))
+        mm.save("t1", "idx", cfg)
+        got = mm.load("t1", "idx")
+        assert got.dim == 64 and got.algorithm == "HNSW" and got.params.m == 8
+        # survives restart
+        mm2 = IndexMetadataManager(p)
+        assert mm2.load("t1", "idx").dim == 64
+        assert mm2.list_all()[0][:2] == ("t1", "idx")
+        assert mm2.delete("t1", "idx")
+        assert mm2.load("t1", "idx") is None
