@@ -1,0 +1,125 @@
+"""Micro-batching query scheduler.
+
+New TPU-first runtime component with no reference analog: the reference
+serves each RESP query with its own CPU scan (concurrency = thread pool,
+ref: Extensions/VectorCommandSet.cs one command per connection), which on a
+TPU would waste the MXU — a [1, N] matmul uses one row of a 128-wide
+systolic array and every dispatch pays the host→device link once.
+
+The batcher turns concurrent single-query requests into one [B, N] device
+batch: the first arrival for a (index, top_k, options) key becomes the
+**leader**, waits up to ``max_wait_ms`` for followers (or until
+``max_batch``), then executes one ``index.search_batch`` for the group and
+distributes the per-query results. Query batches already ≥ max_batch bypass
+the wait entirely.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from typing import Optional, Sequence
+
+import numpy as np
+
+from pyrope_tpu.types import DEFAULT_SEARCH_OPTIONS, SearchOptions, SearchResult
+
+
+@dataclasses.dataclass
+class BatcherStats:
+    batches: int = 0
+    queries: int = 0
+    max_batch_seen: int = 0
+
+    @property
+    def avg_batch(self) -> float:
+        return self.queries / self.batches if self.batches else 0.0
+
+
+class _Group:
+    __slots__ = ("queries", "results", "error", "done", "closed")
+
+    def __init__(self):
+        self.queries: list[np.ndarray] = []
+        self.results: Optional[list[list[SearchResult]]] = None
+        self.error: Optional[BaseException] = None
+        self.done = threading.Event()
+        self.closed = False
+
+
+class MicroBatcher:
+    def __init__(self, max_batch: int = 64, max_wait_ms: float = 0.5):
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1000.0
+        self._lock = threading.Lock()
+        self._groups: dict[tuple, _Group] = {}
+        self.stats = BatcherStats()
+
+    @staticmethod
+    def _key(index, top_k: int, options: SearchOptions) -> tuple:
+        return (id(index), top_k, options)
+
+    def search(
+        self,
+        index,
+        query: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[SearchResult]:
+        """One logical query; may ride a shared device batch."""
+        q = np.asarray(query, np.float32).reshape(-1)
+        key = self._key(index, top_k, options)
+        with self._lock:
+            group = self._groups.get(key)
+            if group is None or group.closed:
+                group = _Group()
+                self._groups[key] = group
+                leader = True
+            else:
+                leader = False
+            slot = len(group.queries)
+            group.queries.append(q)
+            if slot + 1 >= self.max_batch:
+                group.closed = True
+                self._groups.pop(key, None)
+
+        if leader:
+            if not group.closed:
+                # wait for followers; closes either by max_batch or timeout
+                deadline = time.monotonic() + self.max_wait_s
+                while time.monotonic() < deadline and not group.closed:
+                    time.sleep(self.max_wait_s / 8)
+                with self._lock:
+                    if not group.closed:
+                        group.closed = True
+                        if self._groups.get(key) is group:
+                            self._groups.pop(key)
+            try:
+                batch = np.stack(group.queries)
+                group.results = index.search_batch(batch, top_k, options)
+                with self._lock:
+                    self.stats.batches += 1
+                    self.stats.queries += len(batch)
+                    self.stats.max_batch_seen = max(
+                        self.stats.max_batch_seen, len(batch)
+                    )
+            except BaseException as e:  # propagate to every rider
+                group.error = e
+            finally:
+                group.done.set()
+        else:
+            group.done.wait()
+
+        if group.error is not None:
+            raise group.error
+        return group.results[slot]
+
+    def to_dict(self) -> dict:
+        with self._lock:
+            return {
+                "batches": self.stats.batches,
+                "queries": self.stats.queries,
+                "avg_batch": round(self.stats.avg_batch, 2),
+                "max_batch_seen": self.stats.max_batch_seen,
+            }

@@ -115,6 +115,13 @@ class EngineConfig:
     # snapshot/load are confined to this directory (path-safety check,
     # ref: Controllers/IndexController.cs:298-309)
     snapshot_dir: str = "snapshots"
+    # micro-batching scheduler: concurrent single queries share one device
+    # batch (pyrope_tpu/server/batcher.py). 0 disables.
+    microbatch_max: int = 64
+    microbatch_wait_ms: float = 0.5
+    # index-config persistence (ref: Services/IndexMetadataManager.cs);
+    # definitions are restored on engine construction
+    index_meta_path: Optional[str] = None
 
 
 class PyropeEngine:
@@ -150,6 +157,18 @@ class PyropeEngine:
         self.policy: PolicyEngine = DynamicPolicyEngine()
         self.prefetcher = PredictivePrefetcher(clock=clock)
         self.prefetch_queue = PrefetchBackgroundQueue()
+        from pyrope_tpu.server.batcher import MicroBatcher
+
+        self.batcher = (
+            MicroBatcher(self.config.microbatch_max, self.config.microbatch_wait_ms)
+            if self.config.microbatch_max > 0
+            else None
+        )
+        from pyrope_tpu.service.index_metadata import IndexMetadataManager
+
+        self.index_meta = IndexMetadataManager(self.config.index_meta_path)
+        for tenant, index, cfg in self.index_meta.list_all():
+            self.registry.create(tenant, index, cfg)
 
     # ------------------------------------------------------------------
     # auth (ref: VectorCommandSet.cs:726-749 — session ctx ∨ per-command key)
@@ -291,9 +310,13 @@ class PyropeEngine:
                 if tr:
                     tr.budget_adjustment = True
 
-            # --- ★ the hot loop (ref :458) ------------------------------
+            # --- ★ the hot loop (ref :458); concurrent queries ride one
+            # device batch through the micro-batcher -----------------------
             t0 = time.perf_counter()
-            raw = state.index.search(q, top_k, opts)
+            if self.batcher is not None:
+                raw = self.batcher.search(state.index, q, top_k, opts)
+            else:
+                raw = state.index.search(q, top_k, opts)
             if tr:
                 tr.engine_ms = (time.perf_counter() - t0) * 1000
 
@@ -509,7 +532,7 @@ class PyropeEngine:
             return None
         s = state.index.get_stats()
         m = self.metrics.get_snapshot()
-        return {
+        out = {
             "count": s.count,
             "dim": s.dim,
             "metric": s.metric.value,
@@ -519,11 +542,16 @@ class PyropeEngine:
             "cache_misses": m.misses,
             "searches": m.searches,
         }
+        if self.batcher is not None:
+            out["microbatch"] = self.batcher.to_dict()
+        return out
 
     def create_index(self, tenant: str, index: str, config: IndexConfig):
         validate_name(tenant, "tenant")
         validate_name(index, "index")
-        return self.registry.create(tenant, index, config)
+        state = self.registry.create(tenant, index, config)
+        self.index_meta.save(tenant, index, config)
+        return state
 
     def build_index(self, tenant: str, index: str) -> bool:
         """Compaction + centroid auto-sync + epoch bump

@@ -1,0 +1,104 @@
+"""Micro-batching scheduler tests (pyrope_tpu/server/batcher.py)."""
+
+import threading
+
+import numpy as np
+
+from pyrope_tpu.index.flat import FlatIndex
+from pyrope_tpu.server.batcher import MicroBatcher
+from pyrope_tpu.server.engine import EngineConfig, PyropeEngine
+from pyrope_tpu.security import AuthSettings
+from pyrope_tpu.types import IndexConfig
+
+
+def make_index(n=64, dim=8):
+    rng = np.random.default_rng(0)
+    vecs = rng.random((n, dim), dtype=np.float32)
+    idx = FlatIndex(dim, "L2")
+    idx.add_batch([f"v{i}" for i in range(n)], vecs)
+    return idx, vecs
+
+
+class TestMicroBatcher:
+    def test_single_query_correct(self):
+        idx, vecs = make_index()
+        b = MicroBatcher(max_batch=8, max_wait_ms=1)
+        hits = b.search(idx, vecs[5], 3)
+        assert hits[0].id == "v5"
+        assert b.stats.batches == 1 and b.stats.queries == 1
+
+    def test_concurrent_queries_share_batches(self):
+        idx, vecs = make_index()
+        b = MicroBatcher(max_batch=16, max_wait_ms=20)
+        results = {}
+        barrier = threading.Barrier(12)
+
+        def worker(i):
+            barrier.wait()
+            results[i] = b.search(idx, vecs[i], 1)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        for i in range(12):
+            assert results[i][0].id == f"v{i}"
+        # 12 queries in far fewer than 12 device batches
+        assert b.stats.batches < 12
+        assert b.stats.max_batch_seen > 1
+        assert b.stats.queries == 12
+
+    def test_max_batch_closes_group(self):
+        idx, vecs = make_index()
+        b = MicroBatcher(max_batch=2, max_wait_ms=1000)  # long wait: must close by size
+        out = {}
+        t0 = threading.Thread(target=lambda: out.update(a=b.search(idx, vecs[1], 1)))
+        t1 = threading.Thread(target=lambda: out.update(b=b.search(idx, vecs[2], 1)))
+        t0.start(); t1.start()
+        t0.join(timeout=10); t1.join(timeout=10)
+        assert out["a"][0].id == "v1" and out["b"][0].id == "v2"
+        assert b.stats.max_batch_seen == 2
+
+    def test_error_propagates_to_riders(self):
+        idx, vecs = make_index(dim=8)
+        b = MicroBatcher(max_batch=4, max_wait_ms=5)
+        bad = np.zeros(3, np.float32)  # dim mismatch -> search_batch raises
+        try:
+            b.search(idx, bad, 1)
+            raised = False
+        except ValueError:
+            raised = True
+        assert raised
+
+    def test_distinct_options_do_not_mix(self):
+        import pyrope_tpu as pt
+
+        idx, vecs = make_index()
+        b = MicroBatcher(max_batch=8, max_wait_ms=5)
+        h1 = b.search(idx, vecs[0], 1, pt.SearchOptions(max_scans=10))
+        h2 = b.search(idx, vecs[0], 1, pt.SearchOptions())
+        assert b.stats.batches == 2
+        assert h2[0].id == "v0"
+
+
+class TestEngineIntegration:
+    def test_engine_search_through_batcher(self):
+        eng = PyropeEngine(EngineConfig(auth=AuthSettings(enabled=False),
+                                        microbatch_max=8, microbatch_wait_ms=1))
+        rng = np.random.default_rng(1)
+        vecs = rng.random((32, 8), dtype=np.float32)
+        eng.create_index("t", "i", IndexConfig(dim=8, algorithm="FLAT"))
+        eng.add_batch("t", "i", [f"v{i}" for i in range(32)], vecs)
+        r = eng.search("t", "i", vecs[7], 3)
+        assert r.ok and r.hits[0].id == "v7"
+        assert eng.stats("t", "i")["microbatch"]["queries"] >= 1
+
+    def test_engine_batcher_disabled(self):
+        eng = PyropeEngine(EngineConfig(auth=AuthSettings(enabled=False),
+                                        microbatch_max=0))
+        assert eng.batcher is None
+        vecs = np.eye(4, dtype=np.float32)
+        eng.create_index("t", "i", IndexConfig(dim=4, algorithm="FLAT"))
+        eng.add_batch("t", "i", ["a", "b", "c", "d"], vecs)
+        assert eng.search("t", "i", vecs[1], 1).hits[0].id == "b"
