@@ -8,5 +8,12 @@ merge ("sequence parallelism over the database axis", SURVEY §5.7).
 
 from pyrope_tpu.parallel.mesh import default_mesh, make_mesh
 from pyrope_tpu.parallel.sharded_flat import ShardedFlatIndex, sharded_kmeans_step
+from pyrope_tpu.parallel.sharded_ivf import ShardedIvfFlatIndex
 
-__all__ = ["default_mesh", "make_mesh", "ShardedFlatIndex", "sharded_kmeans_step"]
+__all__ = [
+    "default_mesh",
+    "make_mesh",
+    "ShardedFlatIndex",
+    "ShardedIvfFlatIndex",
+    "sharded_kmeans_step",
+]

@@ -1,0 +1,291 @@
+"""Corpus-sharded IVF-Flat: probed-list scan over a device mesh.
+
+Multi-chip layout (SURVEY §5.8/§7.8): every inverted list's rows are dealt
+round-robin across the mesh's ``data`` axis, so each shard owns an equal
+~1/ndev slice of *every* list in its own contiguous cluster-major slab
+(local CSR: offsets + lens). A query (replicated) ranks the replicated
+centroids identically on every shard, probes the same top-nprobe lists, and
+scans only its local slices; the [B, k] local candidates ride one ICI
+``all_gather`` and every shard reduces to the final top-k.
+
+Why round-robin rows instead of whole lists per shard: probe selection is
+query-dependent, so whole-list placement makes load skew with the query
+distribution (hot lists pile onto one chip); slicing every list keeps all
+chips busy for every query — the "sequence parallelism over the database
+axis" design from SURVEY §5.7.
+
+Candidate encoding across shards: global_candidate = shard * stride +
+local_slab_pos, decoded on host via a per-shard row map.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pyrope_tpu.index.flat import FlatIndex
+from pyrope_tpu.index.ivf_flat import IvfFlatIndex
+from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.ops.scalars import device_i32
+from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.types import (
+    DEFAULT_SEARCH_OPTIONS,
+    Metric,
+    SearchOptions,
+    SearchResult,
+)
+from pyrope_tpu.utils.shapes import batch_bucket, round_up
+
+
+def make_sharded_ivf_search(
+    mesh: Mesh, metric: Metric, k: int, nprobe: int, l_pad: int,
+    stride: int, compute: str | None,
+):
+    """shard_map'd probed scan. Per-shard inputs carry a leading mesh-axis
+    dim of 1 inside the body."""
+    cdtype = None if compute is None else jnp.dtype(compute)
+    prec = jax.lax.Precision.HIGHEST if compute is None else None
+
+    def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, ms_local):
+        xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
+        offsets, lens = offsets[0], lens[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        b = q.shape[0]
+        qf = q.astype(jnp.float32)
+
+        cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
+        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
+        _, probe = jax.lax.top_k(cscores, nprobe)          # identical on shards
+        lens_p = lens[probe]
+        offs_p = offsets[probe]
+        before = jnp.cumsum(lens_p, axis=1) - lens_p
+        budget = jnp.maximum(ms_local - before, 0)
+        eff = jnp.minimum(lens_p, budget)
+
+        qq = jnp.sum(qf * qf, axis=-1)
+        qn = jnp.sqrt(jnp.maximum(qq, 1e-24))
+        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+
+        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+        gidx = jnp.full((b, k), -1, jnp.int32)
+        for p in range(nprobe):
+            off = offs_p[:, p]
+            blocks = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(xperm, (o, 0), (l_pad, xperm.shape[1]))
+            )(off)
+            sq = jax.vmap(lambda o: jax.lax.dynamic_slice(sqnorm, (o,), (l_pad,)))(off)
+            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
+            if cdtype is not None:
+                dots = jnp.einsum(
+                    "bld,bd->bl", blocks.astype(cdtype), q.astype(cdtype),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                dots = jnp.einsum(
+                    "bld,bd->bl", blocks, qf,
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+            if metric == Metric.L2:
+                scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+            elif metric == Metric.INNER_PRODUCT:
+                scores = dots
+            else:
+                xn = jnp.sqrt(jnp.maximum(sq, 1e-24))
+                scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
+            mask = (j < eff[:, p : p + 1]) & alv
+            svals = jnp.where(mask, scores, -jnp.inf)
+            rows = shard * stride + off[:, None] + j       # encoded candidates
+            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None),                      # centroids replicated
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(None, None), P(),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+class ShardedIvfFlatIndex(IvfFlatIndex):
+    """IvfFlatIndex whose built slab is list-sliced over a 1-D mesh.
+
+    Host API/semantics identical to IvfFlatIndex (buffer, build, options);
+    only the built-slab layout and the probed-scan kernel differ.
+    """
+
+    def __init__(
+        self,
+        dim: int,
+        metric: Metric | str = Metric.L2,
+        *,
+        mesh: Optional[Mesh] = None,
+        nlist: int = 100,
+        nprobe: int = 3,
+        compute_dtype: Optional[str] = None,
+        seed: int = 42,
+    ):
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self._ndev = self.mesh.devices.size
+        super().__init__(
+            dim, metric, nlist=nlist, nprobe=nprobe,
+            compute_dtype=compute_dtype, seed=seed,
+        )
+        self._fn_cache: dict = {}
+        self._enc_to_perm: Optional[np.ndarray] = None   # encoded -> perm row
+
+    def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        nd = self._ndev
+        k = self._lens.shape[0]
+        kpad = round_up(max(k, 1), 8)
+        # local list slices: list l on shard s gets rows off_l+s, off_l+s+nd, ...
+        local_lens = np.zeros((nd, kpad), np.int32)
+        for li in range(k):
+            ln = int(self._lens[li])
+            for s in range(nd):
+                local_lens[s, li] = (ln - s + nd - 1) // nd if ln > s else 0
+        l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
+        local_offsets = np.zeros((nd, kpad), np.int32)
+        local_offsets[:, 1 : k + 1 if k + 1 <= kpad else kpad] = 0  # filled below
+        caps = local_lens.sum(axis=1)
+        cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+        stride = cap_local
+
+        xp = np.zeros((nd, cap_local, self.dim), np.float32)
+        sq = np.zeros((nd, cap_local), np.float32)
+        alive = np.zeros((nd, cap_local), bool)
+        enc_to_perm = np.full(nd * cap_local, -1, np.int64)
+        cursor = np.zeros(nd, np.int64)
+        for li in range(k):
+            off = int(self._offsets[li])
+            ln = int(self._lens[li])
+            for s in range(nd):
+                rows = np.arange(off + s, off + ln, nd)
+                c = int(cursor[s])
+                local_offsets[s, li] = c
+                m = len(rows)
+                if m:
+                    xp[s, c : c + m] = self._xperm[rows]
+                    alive[s, c : c + m] = self._alive[rows]
+                    enc_to_perm[s * stride + c : s * stride + c + m] = rows
+                cursor[s] = c + m
+        sq[:] = np.einsum("snd,snd->sn", xp, xp)
+
+        cents = np.zeros((kpad, self.dim), np.float32)
+        cvalid = np.zeros(kpad, bool)
+        if self._centroids is not None:
+            cents[:k] = self._centroids
+            cvalid[:k] = True
+
+        row3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        row2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        self._enc_to_perm = enc_to_perm
+        self._dev = {
+            "cents": jnp.asarray(cents),
+            "cvalid": jnp.asarray(cvalid),
+            "xperm": jax.device_put(jnp.asarray(xp), row3),
+            "sqnorm": jax.device_put(jnp.asarray(sq), row2),
+            "alive": jax.device_put(jnp.asarray(alive), row2),
+            "offsets": jax.device_put(jnp.asarray(local_offsets), row2),
+            "lens": jax.device_put(jnp.asarray(local_lens), row2),
+            "l_pad": l_pad,
+            "stride": stride,
+            "k_actual": k,
+        }
+        self._dirty = False
+        return self._dev
+
+    def device_search(
+        self, q: jax.Array, top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> tuple[jax.Array, jax.Array]:
+        if self._buffer.get_stats().count:
+            raise RuntimeError("device_search requires an empty buffer; call build()")
+        if not self._built:
+            raise RuntimeError("device_search requires a built index")
+        return self._device_scan(q, top_k, options)
+
+    def _device_scan(
+        self, q: jax.Array, top_k: int, options: SearchOptions
+    ) -> tuple[jax.Array, jax.Array]:
+        dev = self._sync()
+        nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
+        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
+        ms_local = (ms + self._ndev - 1) // self._ndev  # per-shard budget
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"])
+        fn = self._fn_cache.get(key)
+        if fn is None:
+            fn = self._fn_cache[key] = make_sharded_ivf_search(
+                self.mesh, self.metric, top_k, nprobe, dev["l_pad"],
+                dev["stride"], self.compute_dtype,
+            )
+        return fn(
+            dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+            dev["alive"], dev["offsets"], dev["lens"], q, device_i32(ms_local),
+        )
+
+    def _decode(self, rows: np.ndarray) -> np.ndarray:
+        """Encoded candidates -> global perm rows (-1 stays -1)."""
+        out = np.where(rows >= 0, self._enc_to_perm[np.maximum(rows, 0)], -1)
+        return out
+
+    def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
+        dec = self._decode(np.asarray(rows))
+        return [
+            [self._perm_ids[int(r)] if r >= 0 else "" for r in row]
+            for row in dec
+        ]
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        top_k: int,
+        options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
+    ) -> list[list[SearchResult]]:
+        q = np.asarray(queries, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[1] != self.dim:
+            raise ValueError(f"dim mismatch: expected {self.dim}, got {q.shape[1]}")
+        b = q.shape[0]
+        buf_hits = (
+            self._buffer.search_batch(q, top_k, options)
+            if self._buffer.get_stats().count
+            else [[] for _ in range(b)]
+        )
+        if not self._built or self._main_live == 0:
+            return buf_hits
+        bb = batch_bucket(b)
+        qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
+        vals, rows = self._device_scan(jnp.asarray(qp), top_k, options)
+        vals = np.asarray(vals[:b])
+        rows = self._decode(np.asarray(rows[:b]))
+        out: list[list[SearchResult]] = []
+        for bi in range(b):
+            hits = list(buf_hits[bi])
+            for v, r in zip(vals[bi], rows[bi]):
+                if r < 0 or not np.isfinite(v):
+                    continue
+                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+            hits.sort(key=lambda h: -h.score)
+            out.append(hits[:top_k])
+        return out

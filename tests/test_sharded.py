@@ -77,3 +77,71 @@ def test_sharded_kmeans_step_matches_host():
         for j in range(8)
     ])
     np.testing.assert_allclose(out, expect, rtol=1e-4, atol=1e-4)
+
+
+class TestShardedIvf:
+    def test_matches_single_device_ivf(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        rng = np.random.default_rng(0)
+        n, dim = 4000, 32
+        base = rng.random((n, dim), dtype=np.float32)
+        ids = [str(i) for i in range(n)]
+        q = rng.random((8, dim), dtype=np.float32)
+
+        ref = pt.IvfFlatIndex(dim, "L2", nlist=16)
+        ref.add_batch(ids, base)
+        ref.build()
+        sh = ShardedIvfFlatIndex(dim, "L2", mesh=make_mesh(8), nlist=16)
+        sh.add_batch(ids, base)
+        sh.build()
+
+        opts = pt.SearchOptions(nprobe=8)
+        r_ref = ref.search_batch(q, 10, opts)
+        r_sh = sh.search_batch(q, 10, opts)
+        for a, b in zip(r_ref, r_sh):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-3
+
+    def test_buffer_delete_and_upsert_semantics(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        rng = np.random.default_rng(1)
+        base = rng.random((500, 16), dtype=np.float32)
+        sh = ShardedIvfFlatIndex(16, "L2", mesh=make_mesh(4), nlist=8)
+        sh.add_batch([str(i) for i in range(500)], base)
+        sh.build()
+        # streaming add lands in the buffer and is searchable
+        fresh = rng.random(16).astype(np.float32)
+        assert sh.add("fresh", fresh)
+        assert sh.search(fresh, 1)[0].id == "fresh"
+        # delete a built row
+        assert sh.delete("42")
+        hits = sh.search(base[42], 5, pt.SearchOptions(nprobe=8))
+        assert all(h.id != "42" for h in hits)
+        # compaction merges buffer into the sharded slab
+        sh.build()
+        assert sh.search(fresh, 1)[0].id == "fresh"
+
+    def test_recall_parity(self):
+        import numpy as np
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+        from pyrope_tpu.utils.datasets import ground_truth, recall_at_k
+        import pyrope_tpu as pt
+
+        rng = np.random.default_rng(2)
+        n, dim = 5000, 32
+        base = rng.random((n, dim), dtype=np.float32)
+        q = rng.random((16, dim), dtype=np.float32)
+        sh = ShardedIvfFlatIndex(dim, "L2", mesh=make_mesh(8), nlist=16)
+        sh.add_batch([str(i) for i in range(n)], base)
+        sh.build()
+        res = sh.search_batch(q, 10, pt.SearchOptions(nprobe=16))  # probe all
+        truth = ground_truth(base, q, 10, "L2")
+        rows = np.array([[int(h.id) for h in r] + [-1] * (10 - len(r)) for r in res])
+        assert recall_at_k(rows, truth, 10) > 0.99  # all lists probed => exact
