@@ -17,6 +17,11 @@ from pyrope_tpu.security.auth import (
     SessionAuthContext,
     TenantApiKeyAuthenticator,
 )
+from pyrope_tpu.security.pem import (
+    load_client_context,
+    load_server_context,
+    server_context_from_env,
+)
 
 __all__ = [
     "Permission",
@@ -27,4 +32,7 @@ __all__ = [
     "AuthSettings",
     "SessionAuthContext",
     "TenantApiKeyAuthenticator",
+    "load_client_context",
+    "load_server_context",
+    "server_context_from_env",
 ]

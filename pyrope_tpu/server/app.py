@@ -102,10 +102,15 @@ class PyropeApp:
         self._bg_task: Optional[asyncio.Task] = None
 
     async def start(self) -> None:
+        from pyrope_tpu.security.pem import server_context_from_env
+
+        ssl_ctx = server_context_from_env()  # PYROPE_TLS_{CERT,KEY,CA}
         await self.resp.start()
         self._http_runner = web.AppRunner(self.http_api.build_app())
         await self._http_runner.setup()
-        site = web.TCPSite(self._http_runner, self.host, self.http_port)
+        site = web.TCPSite(
+            self._http_runner, self.host, self.http_port, ssl_context=ssl_ctx
+        )
         await site.start()
         self.engine.prefetch_queue.start()
         self._bg_task = asyncio.create_task(self._background_loop())

@@ -345,3 +345,32 @@ class TestIndexMetadataManager:
         assert mm2.list_all()[0][:2] == ("t1", "idx")
         assert mm2.delete("t1", "idx")
         assert mm2.load("t1", "idx") is None
+
+
+class TestPemLoader:
+    def test_server_and_client_contexts(self, tmp_path):
+        import ssl
+        import subprocess
+
+        from pyrope_tpu.security import load_client_context, load_server_context
+        from pyrope_tpu.security.pem import server_context_from_env
+
+        script = "/root/repo/scripts/generate_mtls_certs.sh"
+        subprocess.run([script, str(tmp_path)], check=True, capture_output=True)
+        srv = load_server_context(
+            str(tmp_path / "server.crt"), str(tmp_path / "server.key"),
+            ca_path=str(tmp_path / "ca.crt"), require_client_cert=True,
+        )
+        assert srv.verify_mode == ssl.CERT_REQUIRED
+        cli = load_client_context(
+            ca_path=str(tmp_path / "ca.crt"),
+            cert_path=str(tmp_path / "client.crt"),
+            key_path=str(tmp_path / "client.key"),
+        )
+        assert isinstance(cli, ssl.SSLContext)
+
+    def test_env_loader_absent(self, monkeypatch):
+        from pyrope_tpu.security.pem import server_context_from_env
+
+        monkeypatch.delenv("PYROPE_TLS_CERT", raising=False)
+        assert server_context_from_env() is None
