@@ -93,6 +93,7 @@ class HttpApi:
         app = web.Application(client_max_size=64 * 1024 * 1024)
         r = app.router
         r.add_post("/v1/indexes", self.create_index)
+        r.add_delete("/v1/indexes/{tenant}/{index}", self.drop_index)
         r.add_post("/v1/indexes/{tenant}/{index}/build", self.build_index)
         r.add_post("/v1/indexes/{tenant}/{index}/snapshot", self.snapshot_index)
         r.add_post("/v1/indexes/{tenant}/{index}/load", self.load_index)
@@ -147,6 +148,19 @@ class HttpApi:
         self.engine.audit.log(tenant, self._actor(request), "index.create",
                               f"{tenant}/{index}", {"config": cfg.to_dict()})
         return web.json_response({"status": "created", "config": cfg.to_dict()}, status=201)
+
+    async def drop_index(self, request: web.Request) -> web.Response:
+        tenant, index = request.match_info["tenant"], request.match_info["index"]
+        deny = self._authorize(request, Permission.INDEX_DELETE, tenant)
+        if deny:
+            return deny
+        if not self.engine.registry.drop(tenant, index):
+            return _err(404, "VEC_ERR_NOT_FOUND", "index not found")
+        self.engine.index_meta.delete(tenant, index)
+        self.engine.invalidate_cache(tenant, index)
+        self.engine.audit.log(tenant, self._actor(request), "index.delete",
+                              f"{tenant}/{index}")
+        return web.json_response({"status": "deleted"})
 
     async def build_index(self, request: web.Request) -> web.Response:
         tenant, index = request.match_info["tenant"], request.match_info["index"]

@@ -293,3 +293,20 @@ class TestBillingAuditApi:
             assert (await r.json())["total"] >= 1
 
         run(body)
+
+
+class TestIndexDelete:
+    def test_drop_index(self):
+        async def body(client, engine):
+            await client.post("/v1/indexes",
+                              json={"tenant": "t1", "index": "d", "dim": 4},
+                              headers=ADMIN)
+            assert engine.registry.try_get("t1", "d") is not None
+            r = await client.delete("/v1/indexes/t1/d", headers=ADMIN)
+            assert r.status == 200
+            assert engine.registry.try_get("t1", "d") is None
+            assert engine.index_meta.load("t1", "d") is None
+            r = await client.delete("/v1/indexes/t1/d", headers=ADMIN)
+            assert r.status == 404
+
+        run(body)

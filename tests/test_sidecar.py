@@ -83,8 +83,6 @@ class TestLLMWorker:
     def test_rate_limit_per_minute(self):
         clk = ManualClock()
         w = LLMWorker(transport=lambda p: "{}", clock=clk)
-        granted = sum(w.submit("x", lambda r: None) or w.process_one() or True
-                      for _ in range(0))
         ok = 0
         for _ in range(100):
             if w.submit("x", lambda r: None):
