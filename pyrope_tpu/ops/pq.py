@@ -116,16 +116,39 @@ def adc_ip_table(q: jax.Array, codebooks: jax.Array) -> jax.Array:
     return jnp.einsum("bms,mks->bmk", qs, codebooks, preferred_element_type=jnp.float32)
 
 
-def adc_accumulate(table: jax.Array, codes: jax.Array) -> jax.Array:
+def adc_accumulate(table: jax.Array, codes: jax.Array, *, impl: str = "onehot") -> jax.Array:
     """Sum table entries selected by codes.
 
     table: [B, M, ksub] fp32; codes: [B, L, M] int32/uint8.
     Returns [B, L] = Σ_m table[b, m, codes[b, l, m]]
     (ref: IvfPqVectorIndex.cs:182-198 ADC accumulation loop).
+
+    impl='onehot' re-expresses the table lookup as a one-hot × table matmul
+    per subspace — the classic TPU trick (PQTable / Quick-ADC lineage, see
+    PAPERS.md): TPUs have no fast per-lane gather, but the [L, ksub] one-hot
+    comparison is cheap VPU work and the contraction runs on the MXU.
+    impl='gather' is the direct take_along_axis form.
     """
     b, m, ksub = table.shape
-    tbl_flat = table.reshape(b, m * ksub)
-    moff = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2) * ksub
-    idx = codes.astype(jnp.int32) + moff              # [B, L, M]
-    gathered = jnp.take_along_axis(tbl_flat, idx.reshape(b, -1), axis=1)
-    return jnp.sum(gathered.reshape(b, -1, m), axis=-1)
+    if impl == "gather":
+        tbl_flat = table.reshape(b, m * ksub)
+        moff = jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2) * ksub
+        idx = codes.astype(jnp.int32) + moff          # [B, L, M]
+        gathered = jnp.take_along_axis(tbl_flat, idx.reshape(b, -1), axis=1)
+        return jnp.sum(gathered.reshape(b, -1, m), axis=-1)
+    # one-hot matmul: acc[b, l] = Σ_m Σ_k 1[codes[b,l,m]=k] · table[b,m,k].
+    # fp32 with HIGHEST precision keeps this bit-faithful to the gather
+    # (one-hot rows select exactly one fp32 table entry).
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ksub), 2)  # [1,1,ksub]
+    acc = None
+    for mi in range(m):
+        oh = (codes[:, :, mi].astype(jnp.int32)[:, :, None] == kiota).astype(
+            jnp.float32
+        )                                              # [B, L, ksub]
+        part = jnp.einsum(
+            "blk,bk->bl", oh, table[:, mi, :],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = part if acc is None else acc + part
+    return acc

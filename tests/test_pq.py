@@ -86,3 +86,19 @@ def test_ip_table():
     cb = rng.normal(size=(2, 4, 4)).astype(np.float32)
     tbl = np.asarray(adc_ip_table(q, cb))
     assert tbl[1, 0, 2] == pytest.approx(float(q[1, :4] @ cb[0, 2]), rel=1e-4)
+
+
+class TestAdcImpls:
+    def test_onehot_matches_gather(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from pyrope_tpu.ops.pq import adc_accumulate
+
+        rng = np.random.default_rng(0)
+        b, l, m, ksub = 4, 64, 8, 256
+        table = jnp.asarray(rng.random((b, m, ksub), np.float32))
+        codes = jnp.asarray(rng.integers(0, ksub, (b, l, m)).astype(np.uint8))
+        ref = adc_accumulate(table, codes, impl="gather")
+        oh = adc_accumulate(table, codes, impl="onehot")
+        # bf16 one-hot matmul: table values survive with ~1e-2 rel error
+        assert np.allclose(np.asarray(ref), np.asarray(oh), rtol=2e-2, atol=2e-2)
