@@ -46,6 +46,7 @@ BASELINES = {
     "flat1m": None,
     "flat1m_approx": None,
     "flat100k_approx": None,
+    "delta_hnsw_pq": None,
 }
 
 CONFIGS = {
@@ -62,6 +63,8 @@ CONFIGS = {
     "flat1m": ("FLAT", 1_000_000, 128, {}),
     "flat100k_approx": ("FLAT_APPROX", 100_000, 128, {}),
     "flat1m_approx": ("FLAT_APPROX", 1_000_000, 128, {}),
+    # BASELINE.json config 5: Delta(head=HNSW, tail=IVF_PQ), streaming adds
+    "delta_hnsw_pq": ("DELTA_HNSW_PQ", 20_000, 128, {}),
 }
 
 
@@ -86,19 +89,27 @@ def build_index(algo: str, dim: int, kwargs: dict):
     if algo == "HNSW":
         return pt.HnswIndex(dim, "L2", **kwargs)
     if algo == "DELTA":
-        import pyrope_tpu as pt
-
         return pt.DeltaIndex(
             pt.FlatIndex(dim, "L2"),
             pt.IvfFlatIndex(dim, "L2", nlist=100),
         )
+    if algo == "DELTA_HNSW_PQ":  # BASELINE.json config 5
+        return pt.DeltaIndex(
+            pt.HnswIndex(dim, "L2", m=16, ef_construction=200, ef_search=50),
+            pt.IvfPqIndex(dim, "L2", nlist=100, pq_m=4, ksub=256),
+        )
     raise ValueError(f"unknown algo {algo}")
 
 
-def run_config(name: str, batch: int, topk: int, n_queries: int, duration_s: float) -> dict:
+def run_config(
+    name: str, batch: int, topk: int, n_queries: int, duration_s: float,
+    base_fvecs: str | None = None, query_fvecs: str | None = None,
+    base_limit: int | None = None,
+) -> dict:
     import pyrope_tpu as pt
     from pyrope_tpu.utils.datasets import (
         ground_truth,
+        read_fvecs,
         recall_at_k,
         synthetic,
         synthetic_queries,
@@ -106,10 +117,20 @@ def run_config(name: str, batch: int, topk: int, n_queries: int, duration_s: flo
     from pyrope_tpu.utils.stats import LatencySummary
 
     algo, n_base, dim, kwargs = CONFIGS[name]
-    log(f"[{name}] algo={algo} n={n_base} dim={dim} batch={batch} topk={topk}")
 
-    base = synthetic(n_base, dim)
-    queries = synthetic_queries(max(n_queries, batch), dim)
+    if base_fvecs:  # real dataset (e.g. SIFT1M .fvecs) replaces synthetic
+        base = read_fvecs(base_fvecs, limit=base_limit or n_base)
+        n_base, dim = base.shape
+        queries = (
+            read_fvecs(query_fvecs, limit=max(n_queries, batch))
+            if query_fvecs
+            else synthetic_queries(max(n_queries, batch), dim)
+        )
+        log(f"[{name}] fvecs dataset: {base.shape} base, {queries.shape} queries")
+    else:
+        base = synthetic(n_base, dim)
+        queries = synthetic_queries(max(n_queries, batch), dim)
+    log(f"[{name}] algo={algo} n={n_base} dim={dim} batch={batch} topk={topk}")
     idx = build_index(algo, dim, kwargs)
 
     t0 = time.perf_counter()
@@ -201,6 +222,10 @@ def main() -> None:
     ap.add_argument("--topk", type=int, default=10)
     ap.add_argument("--queries", type=int, default=1024)
     ap.add_argument("--duration", type=float, default=5.0)
+    # real datasets (ref harness: --dataset sift/glove, Program.cs:192-263)
+    ap.add_argument("--base-fvecs", default=None, help="SIFT-style .fvecs base file")
+    ap.add_argument("--query-fvecs", default=None, help=".fvecs query file")
+    ap.add_argument("--base-limit", type=int, default=None)
     args = ap.parse_args()
 
     if args.quick:
@@ -212,7 +237,11 @@ def main() -> None:
         names = [args.config]
 
     results = [
-        run_config(n, args.batch, args.topk, args.queries, args.duration)
+        run_config(
+            n, args.batch, args.topk, args.queries, args.duration,
+            base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
+            base_limit=args.base_limit,
+        )
         for n in names
     ]
     with open("BENCH_DETAIL.json", "w") as f:

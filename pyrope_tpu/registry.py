@@ -25,10 +25,18 @@ from pyrope_tpu.types import IndexConfig, Metric
 
 
 def create_index(config: IndexConfig) -> DeltaIndex:
-    """Delta(head=Flat, tail=algo) — ref: VectorIndexRegistry.cs:87-112."""
+    """Delta(head=Flat|HNSW, tail=algo) — ref: VectorIndexRegistry.cs:87-112
+    (head defaults to the reference's BruteForce; HNSW head supported per
+    DeltaVectorIndex.cs compaction of either)."""
     algo = config.algorithm.upper()
     p = config.params
-    head = FlatIndex(config.dim, config.metric)
+    if config.head_algorithm.upper() == "HNSW":
+        head: VectorIndex = HnswIndex(
+            config.dim, config.metric,
+            m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
+        )
+    else:
+        head = FlatIndex(config.dim, config.metric)
     if algo == "HNSW":
         tail: VectorIndex = HnswIndex(
             config.dim, config.metric,

@@ -109,12 +109,17 @@ class IndexParams:
 
 @dataclasses.dataclass
 class IndexConfig:
-    """Per-index configuration (ref: Model/IndexConfig.cs:7-36)."""
+    """Per-index configuration (ref: Model/IndexConfig.cs:7-36).
+
+    ``head_algorithm`` picks the Delta head family: FLAT (the reference's
+    BruteForce default) or HNSW (the reference's Delta supports both heads,
+    ref: DeltaVectorIndex.cs:124-158 Scan() of BruteForce or HNSW)."""
 
     dim: int
     metric: Metric = Metric.L2
     algorithm: str = "IVF_FLAT"  # FLAT | IVF_FLAT | IVF_PQ | HNSW (ref default IVF_FLAT)
     params: IndexParams = dataclasses.field(default_factory=IndexParams)
+    head_algorithm: str = "FLAT"  # FLAT | HNSW
 
     def to_dict(self) -> dict:
         return {
@@ -122,6 +127,7 @@ class IndexConfig:
             "metric": self.metric.value,
             "algorithm": self.algorithm,
             "params": dataclasses.asdict(self.params),
+            "head_algorithm": self.head_algorithm,
         }
 
     @classmethod
@@ -131,4 +137,5 @@ class IndexConfig:
             metric=Metric.parse(d.get("metric", "L2")),
             algorithm=str(d.get("algorithm", "IVF_FLAT")).upper(),
             params=IndexParams.from_dict(d.get("params")),
+            head_algorithm=str(d.get("head_algorithm", "FLAT")).upper(),
         )

@@ -168,3 +168,28 @@ def test_registry_create_duplicate_raises():
     reg.create("t", "i", IndexConfig(dim=8))
     with pytest.raises(ValueError):
         reg.create("t", "i", IndexConfig(dim=8))
+
+
+class TestHnswHeadDelta:
+    """BASELINE config 5: Delta(head=HNSW, tail=IVF_PQ) via the registry."""
+
+    def test_registry_hnsw_head(self):
+        import numpy as np
+        from pyrope_tpu.registry import create_index
+        from pyrope_tpu.types import IndexConfig
+        from pyrope_tpu.index.hnsw import HnswIndex
+
+        cfg = IndexConfig(dim=16, algorithm="IVF_PQ", head_algorithm="HNSW")
+        idx = create_index(cfg)
+        assert isinstance(idx.head, HnswIndex)
+        rng = np.random.default_rng(0)
+        vecs = rng.random((300, 16), dtype=np.float32)
+        idx.add_batch([f"v{i}" for i in range(300)], vecs)
+        # streaming adds live in the HNSW head, searchable pre-compaction
+        hits = idx.search(vecs[7], 3)
+        assert hits[0].id == "v7"
+        idx.build()  # compaction into IVF-PQ tail
+        hits = idx.search(vecs[7], 3)
+        assert any(h.id == "v7" for h in hits)
+        # roundtrips through to_dict/from_dict
+        assert IndexConfig.from_dict(cfg.to_dict()).head_algorithm == "HNSW"
