@@ -114,6 +114,22 @@ class MemoryCacheStorage(CacheStorage):
             )
             return True
 
+    def sweep_expired(self, max_scan: int = 50_000) -> int:
+        """Reclaim expired entries (and their tenant-byte accounting) even
+        when they are never read again; run periodically by the server's
+        background tick. Returns entries removed."""
+        now = self._clock.now()
+        with self._lock:
+            dead = []
+            for i, (k, e) in enumerate(self._data.items()):
+                if i >= max_scan:
+                    break
+                if e.expires_at <= now:
+                    dead.append((k, e))
+            for k, e in dead:
+                self._expire_locked(k, e)
+            return len(dead)
+
     # ---- admin (ref: Model/MemoryCacheStorage.cs:88-125) -----------------
 
     def clear(self) -> int:

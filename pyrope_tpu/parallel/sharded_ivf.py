@@ -165,7 +165,6 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
                 local_lens[s, li] = (ln - s + nd - 1) // nd if ln > s else 0
         l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
         local_offsets = np.zeros((nd, kpad), np.int32)
-        local_offsets[:, 1 : k + 1 if k + 1 <= kpad else kpad] = 0  # filled below
         caps = local_lens.sum(axis=1)
         cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
         stride = cap_local

@@ -311,21 +311,26 @@ class PyropeEngine:
                     tr.budget_adjustment = True
 
             # --- ★ the hot loop (ref :458); concurrent queries ride one
-            # device batch through the micro-batcher -----------------------
+            # device batch through the micro-batcher. The index is searched
+            # for the round_k-BUCKETED k (the cache identity, ref QueryKey
+            # RoundK): a bucket-5 line filled by a top_k=3 query must still
+            # satisfy a later top_k=5 query on the same bucket. ------------
+            k_exec = max(top_k, key.top_k)
             t0 = time.perf_counter()
             if self.batcher is not None:
-                raw = self.batcher.search(state.index, q, top_k, opts)
+                raw = self.batcher.search(state.index, q, k_exec, opts)
             else:
-                raw = state.index.search(q, top_k, opts)
+                raw = state.index.search(q, k_exec, opts)
             if tr:
                 tr.engine_ms = (time.perf_counter() - t0) * 1000
 
-            out = self._join_meta(tenant, index, raw, filter_tags, with_meta, top_k, tr)
+            joined = self._join_meta(tenant, index, raw, filter_tags, with_meta, k_exec, tr)
+            out = joined[:top_k]
             self.billing.record_request(tenant, cache_hit=False)
 
             # --- cache set L0 + L1 + L2 (ref :500-539) ------------------
             if decision.should_cache:
-                cacheable = [SearchResult(h.id, h.score) for h in out]
+                cacheable = [SearchResult(h.id, h.score) for h in joined]
                 self.result_cache.set(key, cacheable, decision.ttl_seconds)
                 if self.config.enable_l1_simhash:
                     self.result_cache.set(
@@ -390,11 +395,12 @@ class PyropeEngine:
             state = self.registry.try_get(tenant, index)
             if state is None:
                 return
-            raw = state.index.search(centroid, top_k)
             key = QueryKey.create(
                 tenant, index, centroid, top_k, state.config.metric.value,
                 cluster_id=nxt,
             )
+            # fill the whole round_k bucket (see the hot-loop k_exec note)
+            raw = state.index.search(centroid, key.top_k)
             self.result_cache.set(key, raw, self.policy.evaluate(key).ttl_seconds)
 
         self.prefetch_queue.try_enqueue(work)
@@ -422,8 +428,11 @@ class PyropeEngine:
         try:
             if not self._authenticate(tenant, api_key):
                 return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
-            validate_name(tenant, "tenant")
-            validate_name(index, "index")
+            try:
+                validate_name(tenant, "tenant")
+                validate_name(index, "index")
+            except ValueError as e:
+                return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
             v = np.asarray(vector, dtype=np.float32).reshape(-1)
             try:
                 state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
@@ -473,28 +482,41 @@ class PyropeEngine:
         api_key: Optional[str] = None,
     ) -> WriteResponse:
         """Bulk load (TPU-first addition: one device transfer, one epoch
-        bump — the reference can only stream single VEC.UPSERTs)."""
-        if not self._authenticate(tenant, api_key):
-            return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
-        vs = np.asarray(vectors, dtype=np.float32)
-        if vs.ndim != 2 or len(ids) != vs.shape[0]:
-            return WriteResponse(False, ec.VEC_ERR_DIM, "ids/vectors shape mismatch")
+        bump — the reference can only stream single VEC.UPSERTs). Counts as
+        ONE request against QPS/concurrency quotas (it is one dispatch)."""
+        ok, lease, code, msg = self.quota.try_begin_request(tenant)
+        if not ok:
+            return WriteResponse(False, code, msg)
         try:
-            state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
-                tenant, index, dim=vs.shape[1]
-            )
-        except ValueError as e:
-            return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
-        if vs.shape[1] != state.config.dim:
-            return WriteResponse(False, ec.VEC_ERR_DIM, "dim mismatch")
-        total = 0
-        for i, v in zip(ids, vs):
-            if self.store.try_add(tenant, index, VectorRecord(id=i, vector=v)):
-                total += v.nbytes + len(i)
-        state.index.add_batch(ids, vs)
-        self.billing.record_vector_bytes(tenant, total)
-        self.registry.increment_epoch(tenant, index)
-        return WriteResponse(True)
+            if not self._authenticate(tenant, api_key):
+                return WriteResponse(False, ec.VEC_ERR_AUTH, "authentication failed")
+            try:
+                validate_name(tenant, "tenant")
+                validate_name(index, "index")
+            except ValueError as e:
+                return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
+            vs = np.asarray(vectors, dtype=np.float32)
+            if vs.ndim != 2 or len(ids) != vs.shape[0]:
+                return WriteResponse(False, ec.VEC_ERR_DIM, "ids/vectors shape mismatch")
+            try:
+                state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
+                    tenant, index, dim=vs.shape[1]
+                )
+            except ValueError as e:
+                return WriteResponse(False, ec.VEC_ERR_DIM, str(e))
+            if vs.shape[1] != state.config.dim:
+                return WriteResponse(False, ec.VEC_ERR_DIM, "dim mismatch")
+            total = 0
+            for i, v in zip(ids, vs):
+                if self.store.try_add(tenant, index, VectorRecord(id=i, vector=v)):
+                    total += v.nbytes + len(i)
+            state.index.add_batch(ids, vs)
+            self.billing.record_vector_bytes(tenant, total)
+            self.registry.increment_epoch(tenant, index)
+            return WriteResponse(True)
+        finally:
+            if lease is not None:
+                lease.release()
 
     # ------------------------------------------------------------------
     # VEC.DEL (ref: VectorCommandSet.cs:657-724)
@@ -566,12 +588,13 @@ class PyropeEngine:
         self.registry.increment_epoch(tenant, index)
         return True
 
-    def _safe_snapshot_path(self, path: str) -> str:
-        """Confine snapshot paths to the snapshot dir
-        (ref: IndexController.cs:298-309)."""
+    def _safe_snapshot_path(self, tenant: str, path: str) -> str:
+        """Confine snapshot paths to the TENANT's own namespace under the
+        snapshot dir (ref: IndexController.cs:298-309 path-safety check;
+        per-tenant prefix prevents one tenant loading another's snapshot)."""
         import os
 
-        base = os.path.abspath(self.config.snapshot_dir)
+        base = os.path.abspath(os.path.join(self.config.snapshot_dir, tenant))
         full = os.path.abspath(os.path.join(base, path))
         if not (full == base or full.startswith(base + os.sep)):
             raise ValueError(f"path escapes snapshot dir: {path!r}")
@@ -586,7 +609,7 @@ class PyropeEngine:
         state = self.registry.try_get(tenant, index)
         if state is None:
             return None
-        full = self._safe_snapshot_path(path)
+        full = self._safe_snapshot_path(tenant, path)
         state.index.snapshot(full)
         nbytes = 0
         for p in (full, full + ".head", full + ".tail"):
@@ -600,7 +623,7 @@ class PyropeEngine:
         state = self.registry.try_get(tenant, index)
         if state is None:
             return False
-        state.index.load(self._safe_snapshot_path(path))
+        state.index.load(self._safe_snapshot_path(tenant, path))
         self.registry.increment_epoch(tenant, index)
         return True
 
@@ -624,8 +647,9 @@ class PyropeEngine:
     def tick_background(self) -> None:
         """One iteration of the periodic work the reference runs in hosted
         services (ref: Program.cs:143-168): SLO monitor, prefetch flush,
-        prefetch work queue, alias cleanup."""
+        prefetch work queue, alias + cache-entry expiry sweeps."""
         self.slo_monitor.tick()
         self.prefetcher.tick()
         self.prefetch_queue.run_pending()
         self.canonical.cleanup_expired()
+        self.cache_storage.sweep_expired()

@@ -43,6 +43,19 @@ def _err(status: int, code: str, message: str) -> web.Response:
     return web.json_response({"error": code, "message": message}, status=status)
 
 
+async def _json_body(request: web.Request) -> "tuple[dict, Optional[web.Response]]":
+    """(body, None) or ({}, 400-response) on malformed/missing JSON."""
+    if not request.can_read_body:
+        return {}, None
+    try:
+        body = await request.json()
+    except (json.JSONDecodeError, UnicodeDecodeError):
+        return {}, _err(400, "VEC_ERR_DIM", "invalid JSON body")
+    if not isinstance(body, dict):
+        return {}, _err(400, "VEC_ERR_DIM", "JSON object body required")
+    return body, None
+
+
 class HttpApi:
     def __init__(self, engine: PyropeEngine, sidecar_client=None):
         self.engine = engine
@@ -126,10 +139,9 @@ class HttpApi:
     # ---- index controller -----------------------------------------------------
 
     async def create_index(self, request: web.Request) -> web.Response:
-        try:
-            body = await request.json()
-        except json.JSONDecodeError:
-            return _err(400, "VEC_ERR_DIM", "invalid JSON body")
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         tenant = body.get("tenant")
         index = body.get("index")
         if not tenant or not index or not is_valid_name(tenant) or not is_valid_name(index):
@@ -157,6 +169,7 @@ class HttpApi:
         if not self.engine.registry.drop(tenant, index):
             return _err(404, "VEC_ERR_NOT_FOUND", "index not found")
         self.engine.index_meta.delete(tenant, index)
+        self.engine.store.purge_index(tenant, index)
         self.engine.invalidate_cache(tenant, index)
         self.engine.audit.log(tenant, self._actor(request), "index.delete",
                               f"{tenant}/{index}")
@@ -180,7 +193,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.INDEX_SNAPSHOT, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         path = body.get("path")
         if not path:
             return _err(400, "VEC_ERR_DIM", "path required")
@@ -201,7 +216,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.INDEX_LOAD, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         path = body.get("path")
         if not path:
             return _err(400, "VEC_ERR_DIM", "path required")
@@ -231,7 +248,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.INDEX_BUILD, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         cents = body.get("centroids")
         if not isinstance(cents, list) or not cents:
             return _err(400, "VEC_ERR_DIM", "centroids: [[...], ...] required")
@@ -247,7 +266,9 @@ class HttpApi:
     # ---- tenant controller -----------------------------------------------------
 
     async def create_tenant(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         tenant = body.get("tenant")
         if not tenant or not is_valid_name(tenant):
             return _err(400, "VEC_ERR_DIM", "tenant required ([A-Za-z0-9_-]+)")
@@ -281,7 +302,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.TENANT_UPDATE, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         quotas = TenantQuota.from_dict(body)
         if not self.engine.tenants.update_quotas(tenant, quotas):
             return _err(404, "VEC_ERR_NOT_FOUND", "tenant not found")
@@ -294,7 +317,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.TENANT_UPDATE, tenant)
         if deny:
             return deny
-        body = await request.json() if request.can_read_body else {}
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         try:
             new_key = self.engine.tenants.rotate_api_key(tenant, body.get("api_key"))
         except ValueError as e:
@@ -309,7 +334,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.USER_MANAGE, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         user_id = body.get("user")
         if not user_id or not is_valid_name(user_id):
             return _err(400, "VEC_ERR_DIM", "user required")
@@ -338,7 +365,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.USER_MANAGE, tenant)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         try:
             role = Role.parse(body.get("role", ""))
         except ValueError as e:
@@ -377,7 +406,9 @@ class HttpApi:
         deny = self._authorize(request, Permission.SYSTEM_MANAGE, None)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         store = getattr(self.engine.policy, "store", None)
         if store is None:
             return _err(400, "VEC_ERR_DIM", "policy engine is not dynamic")
@@ -402,7 +433,9 @@ class HttpApi:
         return web.json_response({"removed": n})
 
     async def cache_invalidate(self, request: web.Request) -> web.Response:
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         tenant = body.get("tenant")
         if not tenant:
             return _err(400, "VEC_ERR_DIM", "tenant required")
@@ -446,7 +479,9 @@ class HttpApi:
         sc, deny = self._sidecar_or_503(request)
         if deny:
             return deny
-        body = await request.json()
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
         import asyncio
 
         out = await asyncio.to_thread(
@@ -498,12 +533,18 @@ class HttpApi:
         if deny:
             return deny
         q = request.query
+        try:
+            since = float(q["since"]) if "since" in q else None
+            until = float(q["until"]) if "until" in q else None
+            limit = min(int(q.get("limit", 100)), 10_000)
+        except ValueError:
+            return _err(400, "VEC_ERR_DIM", "since/until/limit must be numeric")
         events = self.engine.audit.query(
             tenant_id=tenant,
             action=q.get("action"),
-            since=float(q["since"]) if "since" in q else None,
-            until=float(q["until"]) if "until" in q else None,
-            limit=int(q.get("limit", 100)),
+            since=since,
+            until=until,
+            limit=limit,
         )
         return web.json_response([e.to_dict() for e in events])
 
@@ -517,6 +558,17 @@ class HttpApi:
         return web.json_response({"status": "ok"})
 
     async def metrics(self, request: web.Request) -> web.Response:
+        # /v1/* requires a key (only /v1/health is exempt): any valid
+        # identity — admin, tenant, or user key — may scrape metrics.
+        if self.engine.authenticator.enabled:
+            key, is_admin = self._identity(request)
+            known = (
+                is_admin
+                or (key and self.engine.tenants.tenant_for_api_key(key))
+                or (key and self.engine.users.user_for_api_key(key))
+            )
+            if not known:
+                return _err(401, "VEC_ERR_AUTH", "X-API-KEY header required")
         return web.Response(
             text=self.engine.metrics.to_prometheus(),
             content_type="text/plain",

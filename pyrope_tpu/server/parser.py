@@ -67,6 +67,7 @@ class SearchRequest:
 class StatsRequest:
     tenant: str
     index: str
+    api_key: Optional[str] = None
 
 
 def _dec(b: bytes) -> str:
@@ -139,15 +140,14 @@ def parse_search(args: list[bytes], default_tenant: Optional[str] = None) -> Sea
     """Accepts ``VEC.SEARCH tenant index TOPK …`` and the reference's
     session-authenticated ``VEC.SEARCH index TOPK …`` form (tenant from
     the AUTH session, ref :253-270)."""
-    # locate TOPK to decide whether tenant was supplied
+    # TOPK can only be the keyword at positions 1 or 2; prefer the
+    # explicit-tenant form so tenants/indexes literally named "topk" parse
     upper = [(_dec(a).upper() if len(a) < 32 else "") for a in args]
-    try:
-        k_at = upper.index("TOPK")
-    except ValueError:
-        raise ParseError("expected TOPK")
-    if k_at == 2:
+    if len(upper) > 2 and upper[2] == "TOPK":
+        k_at = 2
         tenant, index = _dec(args[0]), _dec(args[1])
-    elif k_at == 1:
+    elif len(upper) > 1 and upper[1] == "TOPK":
+        k_at = 1
         if default_tenant is None:
             raise ParseError("tenant required (no session AUTH)")
         tenant, index = default_tenant, _dec(args[0])
@@ -205,8 +205,12 @@ def parse_search(args: list[bytes], default_tenant: Optional[str] = None) -> Sea
 
 
 def parse_stats(args: list[bytes], default_tenant: Optional[str] = None) -> StatsRequest:
+    api_key = None
+    if len(args) >= 2 and _dec(args[-2]).upper() == "API_KEY":
+        api_key = _dec(args[-1])
+        args = args[:-2]
     if len(args) == 2:
-        return StatsRequest(_dec(args[0]), _dec(args[1]))
+        return StatsRequest(_dec(args[0]), _dec(args[1]), api_key)
     if len(args) == 1 and default_tenant is not None:
-        return StatsRequest(default_tenant, _dec(args[0]))
-    raise ParseError("usage: VEC.STATS [tenant] index")
+        return StatsRequest(default_tenant, _dec(args[0]), api_key)
+    raise ParseError("usage: VEC.STATS [tenant] index [API_KEY k]")

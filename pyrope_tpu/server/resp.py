@@ -37,12 +37,18 @@ CRLF = b"\r\n"
 # RESP2 encoding
 # ---------------------------------------------------------------------------
 
+def _line_safe(s: str) -> bytes:
+    """Simple strings/errors are line-terminated; strip CR/LF from embedded
+    (possibly client-supplied) text so replies can't be smuggled."""
+    return s.replace("\r", " ").replace("\n", " ").encode()
+
+
 def encode_simple(s: str) -> bytes:
-    return b"+" + s.encode() + CRLF
+    return b"+" + _line_safe(s) + CRLF
 
 
 def encode_error(msg: str) -> bytes:
-    return b"-" + msg.encode() + CRLF
+    return b"-" + _line_safe(msg) + CRLF
 
 
 def encode_integer(n: int) -> bytes:
@@ -274,6 +280,9 @@ class RespServer:
 
     def _stats(self, args: list[bytes]) -> bytes:
         req = parse_stats(args, default_tenant=SessionAuthContext.get_tenant())
+        # same auth contract as every other VEC.* command (session or API_KEY)
+        if not self.engine._authenticate(req.tenant, req.api_key):
+            return encode_error(f"{ec.VEC_ERR_AUTH} authentication failed")
         s = self.engine.stats(req.tenant, req.index)
         if s is None:
             return encode_error(f"{ec.VEC_ERR_NOT_FOUND} index not found")

@@ -80,6 +80,16 @@ class VectorStore:
             r.deleted = True
             return True
 
+    def purge_index(self, tenant: str, index: str) -> int:
+        """Remove every record of an index (called on index drop so ghost
+        ids/metadata never leak into a recreated index)."""
+        prefix = f"{tenant}:{index}:"
+        with self._lock:
+            keys = [k for k in self._records if k.startswith(prefix)]
+            for k in keys:
+                del self._records[k]
+            return len(keys)
+
     def count(self, tenant: str, index: str) -> int:
         prefix = f"{tenant}:{index}:"
         with self._lock:

@@ -267,3 +267,64 @@ class TestStatsAndBatch:
         assert eng.stats("t1", "idx")["count"] == 100
         out = eng.search("t1", "idx", vs[42], top_k=1)
         assert out.hits[0].id == "v42"
+
+
+class TestReviewFixes:
+    """Regression tests for the code-review findings."""
+
+    def test_roundk_bucket_serves_larger_k(self):
+        # top_k=3 fills the bucket-5 cache line; a top_k=5 query on the same
+        # bucket must get 5 hits, not the 3 originally requested.
+        eng, _ = make_engine()
+        from pyrope_tpu.cache import StaticPolicyEngine
+
+        eng.policy = StaticPolicyEngine(ttl_seconds=60)
+        vecs = load_basic(eng, n=30)
+        r3 = eng.search("t1", "idx", vecs[0], top_k=3)
+        assert len(r3.hits) == 3
+        r5 = eng.search("t1", "idx", vecs[0], top_k=5, trace=True)
+        assert r5.trace.cache_hit
+        assert len(r5.hits) == 5
+
+    def test_snapshot_tenant_namespacing(self, tmp_path):
+        from pyrope_tpu.security import AuthSettings
+        from pyrope_tpu.server.engine import EngineConfig, PyropeEngine
+        from pyrope_tpu.types import IndexConfig
+        import numpy as np
+
+        eng = PyropeEngine(EngineConfig(auth=AuthSettings(enabled=False),
+                                        snapshot_dir=str(tmp_path)))
+        eng.create_index("tA", "i", IndexConfig(dim=4, algorithm="FLAT"))
+        eng.create_index("tB", "i", IndexConfig(dim=4, algorithm="FLAT"))
+        eng.add("tA", "i", "secret", np.ones(4, np.float32))
+        eng.snapshot_index("tA", "i", "snap")
+        # tenant B loading the same relative path gets ITS OWN namespace
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            eng.load_index("tB", "i", "snap")  # no such file in tB's dir
+
+    def test_cache_sweep_reclaims_tenant_bytes(self):
+        eng, clk = make_engine()
+        eng.tenants.create("t1", api_key="k",
+                           quotas=__import__("pyrope_tpu.service", fromlist=["TenantQuota"]).TenantQuota(cache_memory_mb=1/1024.0))
+        st = eng.cache_storage
+        st.set("cache:t1:i:x", "v" * 500, ttl_seconds=5, tenant="t1")
+        clk.advance(10)
+        assert st.tenant_bytes("t1") > 0
+        eng.tick_background()
+        assert st.tenant_bytes("t1") == 0
+
+    def test_add_batch_respects_quota_and_names(self):
+        eng, _ = make_engine()
+        import numpy as np
+
+        from pyrope_tpu.service import TenantQuota
+
+        eng.tenants.create("t1", api_key="k", quotas=TenantQuota(max_qps=1))
+        v = np.ones((2, 4), np.float32)
+        assert eng.add_batch("t1", "idx", ["a", "b"], v).ok
+        r = eng.add_batch("t1", "idx", ["c", "d"], v)
+        assert not r.ok and r.error_code == "VEC_ERR_QUOTA"
+        r = eng.add_batch("t2", "bad:name", ["a"], np.ones((1, 4), np.float32))
+        assert not r.ok and r.error_code == "VEC_ERR_DIM"

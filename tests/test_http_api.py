@@ -69,7 +69,10 @@ class TestHealthAndAuth:
     def test_metrics_exposition(self):
         async def body(client, engine):
             engine.metrics.record_hit()
+            # /v1/metrics needs a valid key (only /v1/health is exempt)
             r = await client.get("/v1/metrics")
+            assert r.status == 401
+            r = await client.get("/v1/metrics", headers=ADMIN)
             assert r.status == 200
             assert "pyrope_cache_hits_total 1" in await r.text()
 
