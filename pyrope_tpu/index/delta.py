@@ -41,23 +41,31 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
         self.tail = tail
         self.dim = head.dim
         self.metric = head.metric
+        # ids live in BOTH halves (head shadows tail); kept incrementally so
+        # get_stats stays O(1)
+        self._overlap = 0
 
     # ---- mutation (writes land in Head, ref :29-56) ----------------------
 
     def add(self, id: str, vector: np.ndarray) -> bool:
-        # id may still live in the tail: treat as duplicate
-        if self._in_tail(id) and not self.head.delete(id):
-            # present in tail and not shadowed -> duplicate add
-            if id not in self._head_ids():
-                return False
+        # duplicate iff the id is live anywhere (head or tail); never mutate
+        # state while answering that question
+        if self._in_head(id) or self._in_tail(id):
+            return False
         return self.head.add(id, vector)
 
     def upsert(self, id: str, vector: np.ndarray) -> None:
+        gained_head = not self._in_head(id)
         self.head.upsert(id, vector)
+        if gained_head and self._in_tail(id):
+            self._overlap += 1
 
     def delete(self, id: str) -> bool:
+        was_overlap = self._in_head(id) and self._in_tail(id)
         h = self.head.delete(id)
         t = self.tail.delete(id)
+        if was_overlap:
+            self._overlap -= 1
         return h or t
 
     def add_batch(self, ids, vectors) -> int:
@@ -65,25 +73,31 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
             return self.head.add_batch(ids, vectors)
         return super().add_batch(ids, vectors)
 
-    def _in_tail(self, id: str) -> bool:
-        pos = getattr(self.tail, "_main_pos", None)
+    @staticmethod
+    def _is_live(index: VectorIndex, id: str) -> bool:
+        """Non-destructive liveness probe across the index families
+        (Flat/HNSW: _id_to_row; IVF-*: _main_pos + buffer)."""
+        pos = getattr(index, "_main_pos", None)
         if pos is not None:
             r = pos.get(id)
-            if r is not None and self.tail._alive[r]:
+            if r is not None and index._alive[r]:
                 return True
-            buf = getattr(self.tail, "_buffer", None)
+            buf = getattr(index, "_buffer", None)
             if buf is not None:
                 rr = buf._id_to_row.get(id)
                 return rr is not None and buf._alive[rr]
             return False
-        idm = getattr(self.tail, "_id_to_row", None)
+        idm = getattr(index, "_id_to_row", None)
         if idm is not None:
             r = idm.get(id)
-            return r is not None and self.tail._alive[r]
-        return False
+            return r is not None and bool(index._alive[r])
+        return any(i == id for i, _ in index.scan())  # generic fallback
 
-    def _head_ids(self) -> set:
-        return {i for i, _ in self.head.scan()}
+    def _in_head(self, id: str) -> bool:
+        return self._is_live(self.head, id)
+
+    def _in_tail(self, id: str) -> bool:
+        return self._is_live(self.tail, id)
 
     # ---- query (merge, Head wins — ref :76-122) ---------------------------
 
@@ -134,6 +148,7 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
             self.head.delete(id)
         self.head.build()
         self.tail.build()
+        self._overlap = 0  # head fully compacted into tail
 
     def get_centroids(self) -> Optional[np.ndarray]:
         if isinstance(self.tail, CentroidsProvider):
@@ -152,10 +167,10 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
                 yield id, v
 
     def get_stats(self) -> IndexStats:
-        head_ids = self._head_ids()
-        overlap = sum(1 for i in head_ids if self._in_tail(i))
         return IndexStats(
-            count=self.head.get_stats().count + self.tail.get_stats().count - overlap,
+            count=self.head.get_stats().count
+            + self.tail.get_stats().count
+            - self._overlap,
             dim=self.dim,
             metric=self.metric,
         )
@@ -192,3 +207,5 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
         self.tail.load(os.path.join(base, manifest["tail"]))
         self.dim = self.head.dim
         self.metric = self.head.metric
+        # recompute the overlap once at restore time
+        self._overlap = sum(1 for i, _ in self.head.scan() if self._in_tail(i))

@@ -131,8 +131,12 @@ class FlatIndex(VectorIndex):
         self.compute_dtype = compute_dtype
         self.selection = selection
         self._min_cap = min_capacity
+        self._clear()
 
-        self._cap = capacity_bucket(0, min_capacity)
+    def _clear(self) -> None:
+        """Reset to empty host state (also used by load(); safe for
+        subclasses — it never touches constructor-only config like a mesh)."""
+        self._cap = capacity_bucket(0, self._min_cap)
         self._vecs = np.zeros((self._cap, self.dim), np.float32)
         self._alive = np.zeros(self._cap, bool)
         self._row_ids: list[Optional[str]] = [None] * self._cap
@@ -140,6 +144,7 @@ class FlatIndex(VectorIndex):
         self._count = 0        # rows ever used (scan frontier)
         self._live = 0         # live rows
         self._dirty = True
+        self._dirty_rows: set[int] = set()
         self._dev: Optional[dict] = None
 
     # ---- mutation -------------------------------------------------------
@@ -156,12 +161,24 @@ class FlatIndex(VectorIndex):
         self._row_ids.extend([None] * (new_cap - self._cap))
         self._cap = new_cap
         self._dev = None  # shape changed; drop device slab
+        self._mark_all_dirty()
 
     def _check_vec(self, vector: np.ndarray) -> np.ndarray:
         v = np.asarray(vector, dtype=np.float32).reshape(-1)
         if v.shape[0] != self.dim:
             raise ValueError(f"dim mismatch: expected {self.dim}, got {v.shape[0]}")
         return v
+
+    def _mark_dirty(self, row: int) -> None:
+        self._dirty = True
+        if self._dirty_rows is not None:
+            self._dirty_rows.add(row)
+            if len(self._dirty_rows) > 4096:  # too many: full re-upload wins
+                self._dirty_rows = None
+
+    def _mark_all_dirty(self) -> None:
+        self._dirty = True
+        self._dirty_rows = None
 
     def add(self, id: str, vector: np.ndarray) -> bool:
         v = self._check_vec(vector)
@@ -181,7 +198,7 @@ class FlatIndex(VectorIndex):
             self._id_to_row[id] = row
             self._count += 1
             self._live += 1
-        self._dirty = True
+        self._mark_dirty(row)
         return True
 
     def upsert(self, id: str, vector: np.ndarray) -> None:
@@ -194,7 +211,7 @@ class FlatIndex(VectorIndex):
             self._live += 1
         self._vecs[row] = v
         self._alive[row] = True
-        self._dirty = True
+        self._mark_dirty(row)
 
     def delete(self, id: str) -> bool:
         row = self._id_to_row.get(id)
@@ -203,7 +220,7 @@ class FlatIndex(VectorIndex):
         self._alive[row] = False
         self._vecs[row] = 0.0  # GC null-out (ref: BruteForceVectorIndex.cs:224-248)
         self._live -= 1
-        self._dirty = True
+        self._mark_dirty(row)
         return True
 
     def add_batch(self, ids, vectors) -> int:
@@ -223,7 +240,7 @@ class FlatIndex(VectorIndex):
                 self._id_to_row[i] = s + off
             self._count += n
             self._live += n
-            self._dirty = True
+            self._mark_all_dirty()
             return n
         return super().add_batch(ids, vecs)
 
@@ -232,6 +249,11 @@ class FlatIndex(VectorIndex):
     def _sync(self) -> dict:
         if self._dev is not None and not self._dirty:
             return self._dev
+        # incremental path: a few mutated rows scatter into the existing
+        # device slab (device-side copy, tiny H2D) instead of re-uploading
+        # the whole capacity-padded slab per mutation
+        if self._dev is not None and self._dirty_rows:
+            return self._sync_incremental()
         vf = self._vecs
         sqnorm = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
         alive = self._alive
@@ -254,7 +276,34 @@ class FlatIndex(VectorIndex):
                 "alive": jnp.asarray(alive),
             }
         self._dirty = False
+        self._dirty_rows = set()
         return self._dev
+
+    def _sync_incremental(self) -> dict:
+        rows = np.fromiter(self._dirty_rows, np.int64, len(self._dirty_rows))
+        vf = self._vecs[rows]
+        idx = jnp.asarray(rows, jnp.int32)
+        alive = jnp.asarray(self._alive[rows])
+        dev = self._dev
+        if self.storage == "sq8":
+            codes, mins, scales = sq8_quantize(vf)
+            deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
+            sq = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
+            dev["codes"] = dev["codes"].at[idx].set(jnp.asarray(codes))
+            dev["mins"] = dev["mins"].at[idx].set(jnp.asarray(mins.astype(np.float32)))
+            dev["scales"] = dev["scales"].at[idx].set(
+                jnp.asarray(np.where(scales > 0, scales, 0.0).astype(np.float32))
+            )
+            dev["sqnorm"] = dev["sqnorm"].at[idx].set(jnp.asarray(sq))
+        else:
+            dt = _STORAGE_DTYPES[self.storage]
+            sq = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
+            dev["vecs"] = dev["vecs"].at[idx].set(jnp.asarray(vf, dtype=dt))
+            dev["sqnorm"] = dev["sqnorm"].at[idx].set(jnp.asarray(sq))
+        dev["alive"] = dev["alive"].at[idx].set(alive)
+        self._dirty = False
+        self._dirty_rows = set()
+        return dev
 
     # ---- query ----------------------------------------------------------
 
@@ -351,9 +400,12 @@ class FlatIndex(VectorIndex):
                 raise ValueError("snapshot dim mismatch")
             ids = [str(s) for s in z["ids"]]
             vecs = np.asarray(z["vecs"], np.float32)
-        self.__init__(self.dim, self.metric, storage=self.storage,
-                      compute_dtype=self.compute_dtype, selection=self.selection,
-                      min_capacity=self._min_cap)
+        # adopt the snapshot's metric/storage (matching the other families;
+        # previously a COSINE snapshot loaded into an L2 index silently
+        # changed scoring semantics)
+        self.metric = Metric.parse(meta["metric"])
+        self.storage = meta.get("storage", self.storage)
+        self._clear()
         if ids:
             self.add_batch(ids, vecs)
 

@@ -345,8 +345,9 @@ class HnswIndex(VectorIndex):
             cur = self._greedy_descent_host(v, cur, lev)
         for lev in range(min(level, self._top_level), -1, -1):
             w = self._search_layer_host(v, [cur], self.ef_construction, lev)
-            max_deg = 2 * self.m if lev == 0 else self.m
-            neighbors = [n for _, n in w[: self.m]]   # closest-M selection
+            # closest-M selection; the 2M layer-0 cap is enforced by the
+            # adjacency row width inside _link (ref SelectNeighbors :327-331)
+            neighbors = [n for _, n in w[: self.m]]
             adj = self._adj_at(lev)
             for n in neighbors:
                 if n == row:

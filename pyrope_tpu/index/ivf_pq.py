@@ -56,12 +56,15 @@ DEFAULT_NPROBE = 3
 
 
 @functools.lru_cache(maxsize=None)
-def _ivfpq_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int):
+def _ivfpq_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, probe_metric: Metric | None = None):
     @jax.jit
     def fn(cents, cvalid, codes_perm, alive, offsets, lens, codebooks, q, max_scans):
         b = q.shape[0]
         m = codes_perm.shape[1]
-        cscores = score_matrix(q, cents, metric)
+        # probe ranking must match the metric rows were ASSIGNED with
+        # (COSINE builds assign by L2 on normalized rows; ranking by raw
+        # q·c drops the −‖c‖²/2 term and probes the wrong lists)
+        cscores = score_matrix(q, cents, probe_metric or metric)
         cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
         _, probe = jax.lax.top_k(cscores, nprobe)      # [B, nprobe]
         lens_p = lens[probe]
@@ -269,7 +272,9 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
         ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
         search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
-        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"])
+        probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"],
+                              probe_metric=probe_metric)
         return fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
             dev["offsets"], dev["lens"], dev["codebooks"], q, device_i32(ms),
@@ -307,9 +312,11 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
         qq = self._normalize(q) if self.metric == Metric.COSINE else q
         search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
         bb = batch_bucket(b)
         qp = np.pad(qq, ((0, bb - b), (0, 0))) if bb != b else qq
-        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"])
+        fn = _ivfpq_search_fn(search_metric, top_k, nprobe, dev["l_pad"],
+                              probe_metric=probe_metric)
         vals, rows = fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
             dev["offsets"], dev["lens"], dev["codebooks"],

@@ -228,8 +228,13 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
     ) -> tuple[jax.Array, jax.Array]:
         dev = self._sync()
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
-        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
-        ms_local = (ms + self._ndev - 1) // self._ndev  # per-shard budget
+        if options.max_scans is None:
+            # uncapped: a shard may hold up to ceil(len/ndev) rows of EVERY
+            # list plus rounding slack, so the only safe no-op budget is the
+            # local slab capacity itself
+            ms_local = dev["stride"]
+        else:
+            ms_local = (options.max_scans + self._ndev - 1) // self._ndev
         key = (top_k, nprobe, dev["l_pad"], dev["stride"])
         fn = self._fn_cache.get(key)
         if fn is None:

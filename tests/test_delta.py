@@ -193,3 +193,37 @@ class TestHnswHeadDelta:
         assert any(h.id == "v7" for h in hits)
         # roundtrips through to_dict/from_dict
         assert IndexConfig.from_dict(cfg.to_dict()).head_algorithm == "HNSW"
+
+
+class TestReviewFixes:
+    def test_duplicate_add_never_mutates(self):
+        import numpy as np
+        import pyrope_tpu as pt
+
+        d = pt.DeltaIndex(pt.FlatIndex(4, "L2"), pt.IvfFlatIndex(4, "L2", nlist=2))
+        v1 = np.array([1, 0, 0, 0], np.float32)
+        v2 = np.array([0, 1, 0, 0], np.float32)
+        v3 = np.array([0, 0, 1, 0], np.float32)
+        assert d.add("a", v1)
+        d.build()
+        d.upsert("a", v2)          # live in head AND tail
+        assert not d.add("a", v3)  # duplicate must fail...
+        hits = d.search(v2, 1)
+        assert hits[0].id == "a" and hits[0].score > -1e-6  # ...and not clobber v2
+
+    def test_overlap_count_o1(self):
+        import numpy as np
+        import pyrope_tpu as pt
+
+        d = pt.DeltaIndex(pt.FlatIndex(4, "L2"), pt.IvfFlatIndex(4, "L2", nlist=2))
+        rng = np.random.default_rng(0)
+        vecs = rng.random((20, 4), dtype=np.float32)
+        d.add_batch([f"v{i}" for i in range(20)], vecs)
+        d.build()
+        assert len(d) == 20
+        d.upsert("v0", vecs[1])   # overlap = 1
+        assert len(d) == 20
+        d.delete("v0")
+        assert len(d) == 19
+        d.build()
+        assert len(d) == 19

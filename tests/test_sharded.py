@@ -145,3 +145,21 @@ class TestShardedIvf:
         truth = ground_truth(base, q, 10, "L2")
         rows = np.array([[int(h.id) for h in r] + [-1] * (10 - len(r)) for r in res])
         assert recall_at_k(rows, truth, 10) > 0.99  # all lists probed => exact
+
+
+class TestShardedFlatSnapshot:
+    def test_snapshot_load_roundtrip_preserves_mesh(self, tmp_path):
+        import numpy as np
+        from pyrope_tpu.parallel import ShardedFlatIndex, make_mesh
+
+        mesh = make_mesh(4)
+        idx = ShardedFlatIndex(8, "L2", mesh=mesh)
+        rng = np.random.default_rng(0)
+        vecs = rng.random((100, 8), dtype=np.float32)
+        idx.add_batch([f"v{i}" for i in range(100)], vecs)
+        p = str(tmp_path / "s.npz")
+        idx.snapshot(p)
+        idx.load(p)  # previously crashed: __init__-based reset
+        assert idx.mesh is mesh  # caller-provided mesh preserved
+        assert idx.get_stats().count == 100
+        assert idx.search(vecs[5], 1)[0].id == "v5"
