@@ -49,6 +49,72 @@ from pyrope_tpu.utils.shapes import batch_bucket, round_up
 DEFAULT_NPROBE = 3  # ref: IvfFlatVectorIndex.cs:14 CombineNProbe = 3
 
 
+def rank_probes(q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdtype):
+    """Rank centroids, pick the top-nprobe lists, and compute each probe's
+    effective scan length under the max_scans budget (ref :183-219).
+    Returns (offs_p [B, nprobe], eff [B, nprobe])."""
+    cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
+    cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
+    _, probe = jax.lax.top_k(cscores, nprobe)
+    lens_p = lens[probe]
+    offs_p = offsets[probe]
+    before = jnp.cumsum(lens_p, axis=1) - lens_p          # rows scanned earlier
+    budget = jnp.maximum(max_scans - before, 0)
+    eff = jnp.minimum(lens_p, budget)                     # ref: break at MaxScans
+    return offs_p, eff
+
+
+def scan_probed_lists(
+    xperm, sqnorm, alive, q, offs_p, eff,
+    *, k: int, l_pad: int, metric: Metric, cdtype, prec, row_base=0,
+):
+    """Scan every probed list slice with a running top-k merge. Each probe
+    is a contiguous dynamic-slice of the cluster-major slab (pure DMA) plus
+    one [B, L_pad] score einsum. ``row_base`` offsets emitted row ids (the
+    sharded scan passes shard*stride so candidates stay globally unique).
+
+    Shared by the single-chip IVF-Flat kernel and the shard_map'd
+    multi-chip kernel (pyrope_tpu/parallel/sharded_ivf.py)."""
+    b = q.shape[0]
+    nprobe = offs_p.shape[1]
+    qf = q.astype(jnp.float32)
+    qq = jnp.sum(qf * qf, axis=-1)
+    qn = jnp.sqrt(jnp.maximum(qq, 1e-24))
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+
+    vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+    gidx = jnp.full((b, k), -1, jnp.int32)
+    for p in range(nprobe):
+        off = offs_p[:, p]
+        blocks = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(xperm, (o, 0), (l_pad, xperm.shape[1]))
+        )(off)                                             # [B, L_pad, D]
+        sq = jax.vmap(lambda o: jax.lax.dynamic_slice(sqnorm, (o,), (l_pad,)))(off)
+        alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
+        if cdtype is not None:
+            dots = jnp.einsum(
+                "bld,bd->bl", blocks.astype(cdtype), q.astype(cdtype),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            dots = jnp.einsum(
+                "bld,bd->bl", blocks, qf,
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        if metric == Metric.L2:
+            scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+        elif metric == Metric.INNER_PRODUCT:
+            scores = dots
+        else:  # COSINE
+            xn = jnp.sqrt(jnp.maximum(sq, 1e-24))
+            scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
+        mask = (j < eff[:, p : p + 1]) & alv
+        svals = jnp.where(mask, scores, -jnp.inf)
+        rows = row_base + off[:, None] + j
+        vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+    return vals, gidx
+
+
 @functools.lru_cache(maxsize=None)
 def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str | None):
     cdtype = None if compute is None else jnp.dtype(compute)
@@ -56,53 +122,13 @@ def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str
 
     @jax.jit
     def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, max_scans):
-        b = q.shape[0]
-        qf = q.astype(jnp.float32)
-        cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
-        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
-        _, probe = jax.lax.top_k(cscores, nprobe)        # [B, nprobe]
-        lens_p = lens[probe]                              # [B, nprobe]
-        offs_p = offsets[probe]
-        before = jnp.cumsum(lens_p, axis=1) - lens_p      # rows scanned earlier
-        budget = jnp.maximum(max_scans - before, 0)
-        eff = jnp.minimum(lens_p, budget)                 # ref: break at MaxScans
-
-        qq = jnp.sum(qf * qf, axis=-1)                    # [B]
-        qn = jnp.sqrt(jnp.maximum(qq, 1e-24))
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
-
-        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
-        gidx = jnp.full((b, k), -1, jnp.int32)
-
-        for p in range(nprobe):
-            off = offs_p[:, p]
-            blocks = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(xperm, (o, 0), (l_pad, xperm.shape[1]))
-            )(off)                                         # [B, L_pad, D]
-            sq = jax.vmap(lambda o: jax.lax.dynamic_slice(sqnorm, (o,), (l_pad,)))(off)
-            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
-            if cdtype is not None:
-                dots = jnp.einsum(
-                    "bld,bd->bl", blocks.astype(cdtype), q.astype(cdtype),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                dots = jnp.einsum(
-                    "bld,bd->bl", blocks, qf,
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-            if metric == Metric.L2:
-                scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
-            elif metric == Metric.INNER_PRODUCT:
-                scores = dots
-            else:  # COSINE
-                xn = jnp.sqrt(jnp.maximum(sq, 1e-24))
-                scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
-            mask = (j < eff[:, p : p + 1]) & alv
-            svals = jnp.where(mask, scores, -jnp.inf)
-            rows = off[:, None] + j
-            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
-        return vals, gidx
+        offs_p, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdtype
+        )
+        return scan_probed_lists(
+            xperm, sqnorm, alive, q, offs_p, eff,
+            k=k, l_pad=l_pad, metric=metric, cdtype=cdtype, prec=prec,
+        )
 
     return fn
 

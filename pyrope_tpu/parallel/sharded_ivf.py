@@ -27,11 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyrope_tpu.index.flat import FlatIndex
-from pyrope_tpu.index.ivf_flat import IvfFlatIndex
-from pyrope_tpu.ops.distance import score_matrix
+from pyrope_tpu.index.ivf_flat import IvfFlatIndex, rank_probes, scan_probed_lists
 from pyrope_tpu.ops.scalars import device_i32
-from pyrope_tpu.ops.topk import merge_topk
 from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -55,52 +52,17 @@ def make_sharded_ivf_search(
         xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
         offsets, lens = offsets[0], lens[0]
         shard = jax.lax.axis_index(DATA_AXIS)
-        b = q.shape[0]
-        qf = q.astype(jnp.float32)
 
-        cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
-        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
-        _, probe = jax.lax.top_k(cscores, nprobe)          # identical on shards
-        lens_p = lens[probe]
-        offs_p = offsets[probe]
-        before = jnp.cumsum(lens_p, axis=1) - lens_p
-        budget = jnp.maximum(ms_local - before, 0)
-        eff = jnp.minimum(lens_p, budget)
-
-        qq = jnp.sum(qf * qf, axis=-1)
-        qn = jnp.sqrt(jnp.maximum(qq, 1e-24))
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
-
-        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
-        gidx = jnp.full((b, k), -1, jnp.int32)
-        for p in range(nprobe):
-            off = offs_p[:, p]
-            blocks = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(xperm, (o, 0), (l_pad, xperm.shape[1]))
-            )(off)
-            sq = jax.vmap(lambda o: jax.lax.dynamic_slice(sqnorm, (o,), (l_pad,)))(off)
-            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
-            if cdtype is not None:
-                dots = jnp.einsum(
-                    "bld,bd->bl", blocks.astype(cdtype), q.astype(cdtype),
-                    preferred_element_type=jnp.float32,
-                )
-            else:
-                dots = jnp.einsum(
-                    "bld,bd->bl", blocks, qf,
-                    preferred_element_type=jnp.float32, precision=prec,
-                )
-            if metric == Metric.L2:
-                scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
-            elif metric == Metric.INNER_PRODUCT:
-                scores = dots
-            else:
-                xn = jnp.sqrt(jnp.maximum(sq, 1e-24))
-                scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
-            mask = (j < eff[:, p : p + 1]) & alv
-            svals = jnp.where(mask, scores, -jnp.inf)
-            rows = shard * stride + off[:, None] + j       # encoded candidates
-            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+        # probe selection is identical on every shard (replicated centroids)
+        offs_p, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, metric, cdtype
+        )
+        # row ids encode the shard so merged candidates stay globally unique
+        vals, gidx = scan_probed_lists(
+            xperm, sqnorm, alive, q, offs_p, eff,
+            k=k, l_pad=l_pad, metric=metric, cdtype=cdtype, prec=prec,
+            row_base=shard * stride,
+        )
 
         vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
