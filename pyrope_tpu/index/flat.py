@@ -95,6 +95,30 @@ def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str =
     return fn
 
 
+@jax.jit
+def _scatter3(vecs, sqnorm, alive, idx, v_new, sq_new, alive_new):
+    """One fused dispatch for the dense incremental slab update (separate
+    .at[].set calls each pay a host->device round trip on tunneled TPUs)."""
+    return (
+        vecs.at[idx].set(v_new.astype(vecs.dtype)),
+        sqnorm.at[idx].set(sq_new),
+        alive.at[idx].set(alive_new),
+    )
+
+
+@jax.jit
+def _scatter5(codes, mins, scales, sqnorm, alive, idx,
+              c_new, m_new, s_new, sq_new, alive_new):
+    """Fused SQ8 incremental slab update."""
+    return (
+        codes.at[idx].set(c_new),
+        mins.at[idx].set(m_new),
+        scales.at[idx].set(s_new),
+        sqnorm.at[idx].set(sq_new),
+        alive.at[idx].set(alive_new),
+    )
+
+
 def sq8_quantize(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per-vector min/max SQ8 (ref: Vector/ScalarQuantizer.cs:22-62).
     Returns (codes uint8 [N, D], mins [N], scales [N])."""
@@ -289,18 +313,22 @@ class FlatIndex(VectorIndex):
             codes, mins, scales = sq8_quantize(vf)
             deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
             sq = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
-            dev["codes"] = dev["codes"].at[idx].set(jnp.asarray(codes))
-            dev["mins"] = dev["mins"].at[idx].set(jnp.asarray(mins.astype(np.float32)))
-            dev["scales"] = dev["scales"].at[idx].set(
-                jnp.asarray(np.where(scales > 0, scales, 0.0).astype(np.float32))
+            dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"], dev["alive"] = (
+                _scatter5(
+                    dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
+                    dev["alive"], idx, jnp.asarray(codes),
+                    jnp.asarray(mins.astype(np.float32)),
+                    jnp.asarray(np.where(scales > 0, scales, 0.0).astype(np.float32)),
+                    jnp.asarray(sq), alive,
+                )
             )
-            dev["sqnorm"] = dev["sqnorm"].at[idx].set(jnp.asarray(sq))
         else:
             dt = _STORAGE_DTYPES[self.storage]
             sq = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
-            dev["vecs"] = dev["vecs"].at[idx].set(jnp.asarray(vf, dtype=dt))
-            dev["sqnorm"] = dev["sqnorm"].at[idx].set(jnp.asarray(sq))
-        dev["alive"] = dev["alive"].at[idx].set(alive)
+            dev["vecs"], dev["sqnorm"], dev["alive"] = _scatter3(
+                dev["vecs"], dev["sqnorm"], dev["alive"],
+                idx, jnp.asarray(vf, dtype=dt), jnp.asarray(sq), alive,
+            )
         self._dirty = False
         self._dirty_rows = set()
         return dev
