@@ -142,8 +142,15 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
 
     def build(self) -> None:
         entries = list(self.head.scan())
-        for id, vec in entries:
-            self.tail.upsert(id, vec)
+        if entries and self.tail.get_stats().count == 0:
+            # first compaction into an empty tail: one bulk build (the HNSW
+            # tail routes this through the native C++ graph builder)
+            ids = [i for i, _ in entries]
+            vecs = np.stack([v for _, v in entries])
+            self.tail.add_batch(ids, vecs)
+        else:
+            for id, vec in entries:
+                self.tail.upsert(id, vec)
         for id, _ in entries:
             self.head.delete(id)
         self.head.build()

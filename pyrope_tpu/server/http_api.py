@@ -132,6 +132,7 @@ class HttpApi:
         r.add_get("/v1/billing/usage", self.billing_usage)
         r.add_get("/v1/audit/logs", self.audit_logs)
         r.add_get("/v1/audit/stats", self.audit_stats)
+        r.add_post("/v1/debug/trace", self.debug_trace)
         r.add_get("/v1/health", self.health)
         r.add_get("/v1/metrics", self.metrics)
         return app
@@ -553,6 +554,32 @@ class HttpApi:
         if deny:
             return deny
         return web.json_response(self.engine.audit.stats())
+
+    async def debug_trace(self, request: web.Request) -> web.Response:
+        """Capture a jax.profiler (xprof) device trace for N seconds — the
+        kernel-level complement of the per-request TRACE breakdown
+        (SURVEY §5.1: "jax.profiler / xprof traces for kernels")."""
+        deny = self._authorize(request, Permission.SYSTEM_MANAGE, None)
+        if deny:
+            return deny
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
+        seconds = min(float(body.get("seconds", 3.0)), 60.0)
+        trace_dir = body.get("path", "/tmp/pyrope_trace")
+        import asyncio
+
+        import jax
+
+        try:
+            jax.profiler.start_trace(trace_dir)
+            await asyncio.sleep(seconds)
+        finally:
+            jax.profiler.stop_trace()
+        self.engine.audit.log("-", self._actor(request), "debug.trace",
+                              trace_dir, {"seconds": seconds})
+        return web.json_response({"status": "captured", "trace_dir": trace_dir,
+                                  "seconds": seconds})
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({"status": "ok"})
