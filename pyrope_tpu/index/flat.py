@@ -341,11 +341,27 @@ class FlatIndex(VectorIndex):
         """Device-level query: q [B, D] -> (scores [B, k], rows [B, k]).
         Rows are slab positions; -1 marks missing hits."""
         dev = self._sync()
-        ms = device_i32(self._count if max_scans is None else min(max_scans, self._count))
+        ms_int = self._count if max_scans is None else min(max_scans, self._count)
+        ms = device_i32(ms_int)
         if self.storage == "sq8":
             fn = _sq8_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
             return fn(dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
                       dev["alive"], q, ms)
+        if self.selection == "pallas" and self.metric != Metric.COSINE:
+            # fused scan+running-top-k kernel (ops/pallas_scan.py): exact,
+            # no [B, N] score materialization; beats the XLA path at N >= ~1M
+            from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
+            from pyrope_tpu.utils.shapes import next_pow2
+
+            b = q.shape[0]
+            bt = min(next_pow2(max(b, 8)), 64)
+            if b % bt:
+                q = jnp.pad(q, ((0, bt - b % bt), (0, 0)))
+            rt = min(4096, self._cap)
+            return pallas_flat_topk(
+                q, dev["vecs"], dev["sqnorm"], dev["alive"], ms_int, top_k,
+                self.metric, row_tile=rt, batch_tile=bt,
+            )
         fn = _dense_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 

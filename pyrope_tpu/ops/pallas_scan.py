@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: fused flat scan + running top-k.
+
+The XLA path (ops/distance.score_matrix + lax.top_k / approx_max_k)
+materializes the [B, N] score matrix in HBM before selecting. This kernel
+never does: corpus tiles stream HBM→VMEM through the Pallas pipeline
+(double-buffered automatically by the grid), each tile is scored on the MXU
+(`pl.dot`), and a [B, k] running top-k lives in VMEM scratch across grid
+steps — the SURVEY §7 "fused running top-k inside the scan kernel" design.
+Per-batch HBM traffic is exactly one slab read.
+
+Selection inside the kernel is k rounds of (max, argmax, mask-out) over the
+[B, k + TILE] candidate row — pure VPU work on a fused buffer, ~k·(k+TILE)
+ops per tile vs. a full sort.
+
+Grid: (batch tiles, corpus tiles); the corpus axis iterates fastest, so the
+scratch accumulator resets at n_idx == 0 and flushes to the output block at
+the last corpus tile (TPU grid steps run sequentially per core).
+
+Semantics match ops/topk.masked_topk(..., selection="exact"): masked rows
+(dead or >= max_scans) score -inf, missing hits report index -1, and scores
+follow the engine convention (L2 -> -d², IP -> dot; cosine callers
+pre-normalize rows and use IP).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pyrope_tpu.types import Metric
+
+# 4096-row tiles amortize the merge's lane reductions: measured on v5e at
+# 1M x 128 the kernel runs 2.66 ms vs 5.55 ms with 1024-row tiles (and vs
+# 4.05 ms for XLA score+top_k) — exact, overlap 1.0
+DEFAULT_ROW_TILE = 4096
+DEFAULT_BATCH_TILE = 64
+NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captured by kernels)
+
+
+def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
+                 run_v, run_i, *, k: int, metric: Metric, row_tile: int):
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    q = q_ref[:]                                   # [Bt, D]
+    x = x_ref[:]                                   # [T, D]
+    dots = pl.dot(q, x.T)                          # [Bt, T] fp32 on the MXU
+    if metric == Metric.L2:
+        qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
+        scores = -jnp.maximum(qq - 2.0 * dots + sq_ref[:][None, :], 0.0)
+    else:  # IP (cosine rows pre-normalized)
+        scores = dots
+
+    base = n_idx * row_tile
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
+    mask = alive_ref[:][None, :] & (rows < ms_ref[0])
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    # threshold gate: merging costs k extract-max rounds, but most tiles
+    # contribute nothing once the running kth-best is high — pay one max
+    # round always, and the full merge only when some row improves
+    tile_max = jnp.max(scores, axis=1, keepdims=True)         # [Bt, 1]
+    theta = run_v[:, k - 1 : k]                               # kth best per row
+    need_merge = jnp.any(tile_max > theta)
+
+    @pl.when(need_merge)
+    def _():
+        # k rounds of extract-max over the fused [Bt, k + T] candidate row
+        cand_v = jnp.concatenate([run_v[:], scores], axis=1)
+        cand_i = jnp.concatenate(
+            [run_i[:], jnp.broadcast_to(rows, scores.shape)], axis=1
+        )
+        bt = cand_v.shape[0]
+        width = cand_v.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (bt, width), 1)
+        new_v = []
+        new_i = []
+        for _ in range(k):
+            m = jnp.max(cand_v, axis=1, keepdims=True)        # [Bt, 1]
+            is_m = cand_v == m
+            # first column attaining the max
+            first = jnp.min(jnp.where(is_m, col, width), axis=1, keepdims=True)
+            picked = col == first
+            sel_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1, keepdims=True)
+            new_v.append(m)
+            new_i.append(jnp.where(m > NEG_INF, sel_i, -1))
+            cand_v = jnp.where(picked, NEG_INF, cand_v)
+        run_v[:] = jnp.concatenate(new_v, axis=1)
+        run_i[:] = jnp.concatenate(new_i, axis=1)
+
+    @pl.when(n_idx == n_tiles - 1)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
+           x_dtype: str, row_tile: int, batch_tile: int, interpret: bool):
+    grid = (b_pad // batch_tile, n_pad // row_tile)
+    kernel = functools.partial(
+        _scan_kernel, k=k, metric=metric, row_tile=row_tile
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # ms
+            pl.BlockSpec((batch_tile, d), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # q
+            pl.BlockSpec((row_tile, d), lambda b, n: (n, 0),
+                         memory_space=pltpu.VMEM),                     # x tile
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # sqnorm
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # alive
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, k), jnp.float32),
+            pltpu.VMEM((batch_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pallas_flat_topk(
+    q: jax.Array,
+    x: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    max_scans,
+    k: int,
+    metric: Metric = Metric.L2,
+    *,
+    row_tile: int = DEFAULT_ROW_TILE,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused masked scan + exact top-k. q [B, D], x [N, D] (N, B already
+    padded to the tile sizes by the caller); returns ([B, k], [B, k])."""
+    metric = Metric.parse(metric)
+    if metric == Metric.COSINE:
+        raise ValueError("pre-normalize rows and use IP for cosine")
+    b, d = q.shape
+    n = x.shape[0]
+    row_tile = min(row_tile, n)
+    batch_tile = min(batch_tile, b)
+    if n % row_tile or b % batch_tile:
+        raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    fn = _build(metric, k, b, n, d, str(x.dtype), row_tile, batch_tile, interpret)
+    ms = jnp.asarray([max_scans], jnp.int32)
+    vals, idx = fn(ms, q, x, sqnorm, alive)
+    return vals, idx

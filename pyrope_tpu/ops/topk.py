@@ -15,13 +15,16 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 def parse_selection(selection: str) -> tuple[str, float]:
-    """'exact' | 'approx' | 'approx:<recall>' -> (mode, recall_target)."""
-    if selection == "exact":
-        return "exact", 1.0
+    """'exact' | 'pallas' | 'approx[:<recall>]' -> (mode, recall_target).
+
+    'pallas' = the fused scan+running-top-k kernel (ops/pallas_scan.py),
+    exact like 'exact'; indexes route it before reaching masked_topk."""
+    if selection in ("exact", "pallas"):
+        return selection, 1.0
     if selection.startswith("approx"):
         _, _, rt = selection.partition(":")
         return "approx", float(rt) if rt else 0.95
-    raise ValueError(f"selection must be exact|approx[:recall], got {selection!r}")
+    raise ValueError(f"selection must be exact|pallas|approx[:recall], got {selection!r}")
 
 
 def masked_topk(
