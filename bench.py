@@ -47,6 +47,10 @@ BASELINES = {
     "flat1m_approx": None,
     "flat100k_approx": None,
     "delta_hnsw_pq": None,
+    "flat1m_pallas": None,
+    "ivf1m": None,  # reference DNF'd at 1M (stalled at 93% load)
+    "ivf100k_clustered": None,
+    "hnsw100k_clustered": None,
 }
 
 CONFIGS = {
@@ -65,7 +69,17 @@ CONFIGS = {
     "flat1m_approx": ("FLAT_APPROX", 1_000_000, 128, {}),
     # BASELINE.json config 5: Delta(head=HNSW, tail=IVF_PQ), streaming adds
     "delta_hnsw_pq": ("DELTA_HNSW_PQ", 20_000, 128, {}),
+    # Pallas fused scan+running-top-k kernel (exact)
+    "flat1m_pallas": ("FLAT_PALLAS", 1_000_000, 128, {}),
+    # IVF at the scale where the reference DNF'd
+    "ivf1m": ("IVF_FLAT", 1_000_000, 128, {"nlist": 1000}),
+    # clustered corpus: the realistic ANN regime (recall has headroom)
+    "ivf100k_clustered": ("IVF_FLAT", 100_000, 128, {"nlist": 100}),
+    "hnsw100k_clustered": ("HNSW", 100_000, 128,
+                           {"m": 16, "ef_construction": 200, "ef_search": 50}),
 }
+
+CLUSTERED = {"ivf100k_clustered", "hnsw100k_clustered"}
 
 
 def log(*a):
@@ -80,6 +94,9 @@ def build_index(algo: str, dim: int, kwargs: dict):
     if algo == "FLAT_APPROX":
         # bf16 slab + PartialReduce top-k: the full-throughput TPU scan
         return pt.FlatIndex(dim, "L2", storage="bf16", selection="approx:0.95")
+    if algo == "FLAT_PALLAS":
+        # fused Pallas scan + running top-k (exact, no [B,N] materialization)
+        return pt.FlatIndex(dim, "L2", storage="bf16", selection="pallas")
     if algo == "FLAT_SQ8":
         return pt.FlatIndex(dim, "L2", storage="sq8")
     if algo == "IVF_FLAT":
@@ -127,6 +144,14 @@ def run_config(
             else synthetic_queries(max(n_queries, batch), dim)
         )
         log(f"[{name}] fvecs dataset: {base.shape} base, {queries.shape} queries")
+    elif name in CLUSTERED:
+        from pyrope_tpu.utils.datasets import (
+            synthetic_clustered,
+            synthetic_clustered_queries,
+        )
+
+        base = synthetic_clustered(n_base, dim)
+        queries = synthetic_clustered_queries(max(n_queries, batch), dim)
     else:
         base = synthetic(n_base, dim)
         queries = synthetic_queries(max(n_queries, batch), dim)
@@ -244,8 +269,19 @@ def main() -> None:
         )
         for n in names
     ]
+    # merge into BENCH_DETAIL.json keyed by (config, batch) so single-config
+    # runs don't clobber the full sweep
+    detail = []
+    try:
+        with open("BENCH_DETAIL.json") as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    merged = {(r["config"], r["batch"]): r for r in detail}
+    for r in results:
+        merged[(r["config"], r["batch"])] = r
     with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(sorted(merged.values(), key=lambda r: (r["config"], r["batch"])), f, indent=2)
 
     head = next((r for r in results if r["config"] == "ivf100k"), results[0])
     baseline = head["baseline_qps"]

@@ -168,6 +168,7 @@ def pallas_flat_topk(
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
     interpret = jax.default_backend() not in ("tpu", "axon")
     fn = _build(metric, k, b, n, d, str(x.dtype), row_tile, batch_tile, interpret)
-    ms = jnp.asarray([max_scans], jnp.int32)
-    vals, idx = fn(ms, q, x, sqnorm, alive)
+    from pyrope_tpu.ops.scalars import device_i32x1
+
+    vals, idx = fn(device_i32x1(max_scans), q, x, sqnorm, alive)
     return vals, idx

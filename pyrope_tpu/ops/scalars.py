@@ -30,3 +30,21 @@ def device_i32(value: int):
             _CACHE.clear()
         _CACHE[v] = arr
     return arr
+
+
+_VEC_CACHE: dict[int, "jnp.ndarray"] = {}
+
+
+def device_i32x1(value: int):
+    """A cached device int32 [1]-vector (SMEM scalar inputs to Pallas
+    kernels take rank-1 refs)."""
+    v = int(value)
+    got = _VEC_CACHE.get(v)
+    if got is not None:
+        return got
+    arr = jnp.asarray([v], jnp.int32)
+    with _LOCK:
+        if len(_VEC_CACHE) >= _MAX_ENTRIES:
+            _VEC_CACHE.clear()
+        _VEC_CACHE[v] = arr
+    return arr

@@ -28,6 +28,33 @@ def synthetic_queries(n: int, dim: int, seed: int = QUERY_SEED) -> np.ndarray:
     return synthetic(n, dim, seed)
 
 
+def synthetic_clustered(
+    n: int, dim: int, n_clusters: int = 100, seed: int = BASE_SEED,
+    spread: float = 0.05,
+) -> np.ndarray:
+    """Mixture-of-Gaussians corpus — the realistic ANN regime (embedding
+    spaces cluster; the reference's uniform synthetic has no structure for
+    IVF/HNSW to exploit, which floors recall for ANY implementation)."""
+    rng = np.random.default_rng(seed)
+    centers = rng.random((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    noise = rng.normal(0.0, spread, (n, dim)).astype(np.float32)
+    return centers[assign] + noise
+
+
+def synthetic_clustered_queries(
+    n: int, dim: int, n_clusters: int = 100, seed: int = QUERY_SEED,
+    base_seed: int = BASE_SEED, spread: float = 0.05,
+) -> np.ndarray:
+    """Queries drawn near the same cluster centers as the corpus."""
+    rng = np.random.default_rng(seed)
+    centers_rng = np.random.default_rng(base_seed)
+    centers = centers_rng.random((n_clusters, dim)).astype(np.float32)
+    assign = rng.integers(0, n_clusters, n)
+    noise = rng.normal(0.0, spread, (n, dim)).astype(np.float32)
+    return centers[assign] + noise
+
+
 def read_fvecs(path: str | Path, limit: int | None = None) -> np.ndarray:
     """SIFT-style .fvecs: per record int32 dim + dim float32 LE
     (ref: Datasets/FvecsReader.cs:14-58)."""
