@@ -122,6 +122,7 @@ class HttpApi:
         r.add_delete("/v1/tenants/{tenant}/users/{user}", self.delete_user)
         r.add_get("/v1/cache/policies", self.get_cache_policies)
         r.add_put("/v1/cache/policies", self.put_cache_policies)
+        r.add_post("/v1/cache/aliases", self.cache_alias)
         r.add_post("/v1/cache/flush", self.cache_flush)
         r.add_post("/v1/cache/invalidate", self.cache_invalidate)
         r.add_get("/v1/ai/models", self.ai_models)
@@ -424,6 +425,28 @@ class HttpApi:
         )
         self.engine.audit.log("-", self._actor(request), "cache.policy.update", "-", body)
         return web.json_response({"status": "updated"})
+
+    async def cache_alias(self, request: web.Request) -> web.Response:
+        """Register an L0.5 canonical alias (the reference feeds its
+        CanonicalKeyMap from LLM query normalization; this is the produce
+        side of that loop — callable by the sidecar or offline jobs).
+        Requires POLICY_UPDATE on the body's tenant (admin bypasses)."""
+        body, bad = await _json_body(request)
+        if bad:
+            return bad
+        deny = self._authorize(request, Permission.POLICY_UPDATE, body.get("tenant"))
+        if deny:
+            return deny
+        alias = body.get("alias_hash")
+        canonical = body.get("canonical_hash")
+        if not alias or not canonical:
+            return _err(400, "VEC_ERR_DIM", "alias_hash and canonical_hash required")
+        self.engine.canonical.set_alias(
+            alias, canonical,
+            confidence=float(body.get("confidence", 1.0)),
+            ttl_seconds=float(body.get("ttl_seconds", 3600.0)),
+        )
+        return web.json_response({"status": "registered"})
 
     async def cache_flush(self, request: web.Request) -> web.Response:
         deny = self._authorize(request, Permission.SYSTEM_MANAGE, None)

@@ -313,3 +313,20 @@ class TestIndexDelete:
             assert r.status == 404
 
         run(body)
+
+
+class TestCacheAlias:
+    def test_register_alias(self):
+        async def body(client, engine):
+            r = await client.post(
+                "/v1/cache/aliases",
+                json={"tenant": "t1", "alias_hash": "aaa", "canonical_hash": "bbb",
+                      "confidence": 0.9},
+                headers=ADMIN,
+            )
+            assert r.status == 200
+            assert engine.canonical.try_get_canonical("aaa") == "bbb"
+            r = await client.post("/v1/cache/aliases", json={}, headers=ADMIN)
+            assert r.status == 400
+
+        run(body)
