@@ -86,16 +86,16 @@ class TenantQuotaEnforcer:
         now = self._clock.now()
         with self._lock:
             st = self._state(tenant)
+            # check every gate BEFORE consuming any slot, so a rejection on
+            # one gate never burns quota on another (a concurrency-rejected
+            # retry storm must not exhaust the daily limit)
             if q.max_qps is not None:
-                if q.max_qps <= 0:
-                    return False, None, VEC_ERR_QUOTA, "Tenant QPS limit exceeded."
                 window = float(int(now))
                 if st.qps_window_start != window:
                     st.qps_window_start = window
                     st.qps_count = 0
-                if st.qps_count >= q.max_qps:
+                if q.max_qps <= 0 or st.qps_count >= q.max_qps:
                     return False, None, VEC_ERR_QUOTA, "Tenant QPS limit exceeded."
-                st.qps_count += 1
             if q.daily_request_limit is not None:
                 dk = self._day_key()
                 if st.day_key != dk:
@@ -103,11 +103,18 @@ class TenantQuotaEnforcer:
                     st.day_count = 0
                 if st.day_count >= q.daily_request_limit:
                     return False, None, VEC_ERR_QUOTA, "Tenant daily request limit exceeded."
+            if q.max_concurrent_requests is not None and (
+                q.max_concurrent_requests <= 0
+                or st.concurrent >= q.max_concurrent_requests
+            ):
+                return False, None, VEC_ERR_BUSY, "Tenant concurrency limit exceeded."
+            # all gates pass: consume
+            if q.max_qps is not None:
+                st.qps_count += 1
+            if q.daily_request_limit is not None:
                 st.day_count += 1
             lease: Optional[TenantRequestLease] = None
             if q.max_concurrent_requests is not None:
-                if q.max_concurrent_requests <= 0 or st.concurrent >= q.max_concurrent_requests:
-                    return False, None, VEC_ERR_BUSY, "Tenant concurrency limit exceeded."
                 st.concurrent += 1
                 lease = TenantRequestLease(lambda: self._release(tenant))
             return True, lease, None, None
@@ -133,7 +140,7 @@ class TenantQuotaEnforcer:
 
     def is_over_budget(self, tenant: str) -> bool:
         cfg = self._registry.try_get(tenant)
-        if cfg is None or cfg.quotas.monthly_budget is None:
+        if cfg is None or cfg.quotas is None or cfg.quotas.monthly_budget is None:
             return False
         mk = self._month_key()
         with self._lock:

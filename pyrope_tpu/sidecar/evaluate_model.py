@@ -17,7 +17,8 @@ import numpy as np
 from pyrope_tpu.sidecar.train_model import label_decision
 
 
-def evaluate(artifact_path: "str | Path", log_path: "str | Path") -> dict:
+def load_samples(log_path: "str | Path") -> list[dict]:
+    """Parse the decision log once (reused across per-version evaluations)."""
     samples = []
     with Path(log_path).open() as f:
         for line in f:
@@ -28,6 +29,16 @@ def evaluate(artifact_path: "str | Path", log_path: "str | Path") -> dict:
                 except json.JSONDecodeError:
                     continue
                 samples.append(rec.get("metrics", rec))
+    return samples
+
+
+def evaluate(
+    artifact_path: "str | Path",
+    log_path: "str | Path | None" = None,
+    samples: "list[dict] | None" = None,
+) -> dict:
+    if samples is None:
+        samples = load_samples(log_path)
     if not samples:
         return {"samples": 0}
 

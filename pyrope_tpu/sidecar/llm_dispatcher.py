@@ -8,26 +8,13 @@ ref: llm_dispatcher.py:54-117).
 
 from __future__ import annotations
 
-import json
 import threading
 from typing import Callable, Optional
 
-from pyrope_tpu.sidecar.llm_worker import LLMWorker
+from pyrope_tpu.sidecar.llm_worker import LLMWorker, extract_json as _extract_json
 from pyrope_tpu.sidecar.prompts import PREFETCH_PREDICTION_PROMPT, TTL_ADVICE_PROMPT
 
 MIN_CONFIDENCE = 0.5
-
-
-def _extract_json(text: Optional[str]) -> Optional[dict]:
-    if not text:
-        return None
-    start, end = text.find("{"), text.rfind("}")
-    if start < 0 or end <= start:
-        return None
-    try:
-        return json.loads(text[start : end + 1])
-    except json.JSONDecodeError:
-        return None
 
 
 class LLMPrefetchDispatcher:

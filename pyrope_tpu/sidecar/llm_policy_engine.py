@@ -33,12 +33,14 @@ def clamp_policy(raw: dict) -> dict:
 
 def parse_llm_reply(text: str) -> Optional[dict]:
     """Extract + clamp the JSON object from an LLM reply."""
-    start, end = text.find("{"), text.rfind("}")
-    if start < 0 or end <= start:
+    from pyrope_tpu.sidecar.llm_worker import extract_json
+
+    obj = extract_json(text)
+    if obj is None:
         return None
     try:
-        return clamp_policy(json.loads(text[start : end + 1]))
-    except (json.JSONDecodeError, TypeError, ValueError):
+        return clamp_policy(obj)
+    except (TypeError, ValueError):
         return None
 
 
@@ -54,22 +56,32 @@ def _bucket(metrics: dict) -> tuple:
 
 
 class LLMPolicyEngine:
+    CACHE_TTL_S = 300.0
+    CACHE_MAX = 512
+
     def __init__(self, worker: Optional[LLMWorker] = None, target_p99_ms: float = 50.0):
         self.worker = worker or LLMWorker()
+        self.worker.start()  # no-op when disabled; consumer thread otherwise
         self.heuristic = HeuristicPolicyEngine()
         self.target_p99_ms = target_p99_ms
         self._lock = threading.Lock()
-        self._cache: dict[tuple, dict] = {}
+        self._cache: dict[tuple, tuple[dict, float]] = {}  # bucket -> (policy, ts)
         self._inflight: set[tuple] = set()
         self.stats = {"cache_hits": 0, "heuristic_fallbacks": 0, "llm_decisions": 0}
 
     def compute_policy(self, tenant: str, metrics: dict) -> dict:
+        import time as _time
+
         bucket = _bucket(metrics)
+        now = _time.monotonic()
         with self._lock:
             cached = self._cache.get(bucket)
             if cached is not None:
-                self.stats["cache_hits"] += 1
-                return dict(cached)
+                policy, ts = cached
+                if now - ts < self.CACHE_TTL_S:
+                    self.stats["cache_hits"] += 1
+                    return dict(policy)
+                del self._cache[bucket]  # stale decision: re-consult
             launch = self.worker.enabled and bucket not in self._inflight
             if launch:
                 self._inflight.add(bucket)
@@ -88,7 +100,9 @@ class LLMPolicyEngine:
                 with self._lock:
                     self._inflight.discard(_bucket)
                     if policy is not None:
-                        self._cache[_bucket] = policy
+                        if len(self._cache) >= self.CACHE_MAX:
+                            self._cache.clear()
+                        self._cache[_bucket] = (policy, _time.monotonic())
                         self.stats["llm_decisions"] += 1
 
             if not self.worker.submit(prompt, on_reply):

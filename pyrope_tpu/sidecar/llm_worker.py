@@ -25,6 +25,23 @@ MONTHLY_TOKEN_BUDGET = 10_000_000
 MAX_RETRIES = 3
 
 
+def extract_json(text: "str | None") -> "dict | None":
+    """Extract the first {...} JSON object from an LLM reply (shared by the
+    policy engine and dispatchers)."""
+    import json
+
+    if not text:
+        return None
+    start, end = text.find("{"), text.rfind("}")
+    if start < 0 or end <= start:
+        return None
+    try:
+        obj = json.loads(text[start : end + 1])
+    except json.JSONDecodeError:
+        return None
+    return obj if isinstance(obj, dict) else None
+
+
 class LLMDisabledError(RuntimeError):
     pass
 

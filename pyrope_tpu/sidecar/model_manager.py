@@ -76,20 +76,20 @@ class ModelManager:
     ) -> dict:
         """Run ``train_fn(staging_dir) -> version`` on a worker thread
         (ref: threaded train job, model_manager.py:60-92)."""
-        with self._lock:
-            if self._train_thread is not None and self._train_thread.is_alive():
-                return {"status": "already_training", "job_id": str(self._job_counter)}
-            self._job_counter += 1
-            job = self._job_counter
-
         def work():
             try:
                 train_fn(self.staging)
             except Exception:
                 pass  # job failure leaves staging unchanged
 
-        t = threading.Thread(target=work, daemon=True, name=f"pyrope-train-{job}")
         with self._lock:
+            # alive-check and thread registration in ONE critical section so
+            # two concurrent triggers can't both start jobs
+            if self._train_thread is not None and self._train_thread.is_alive():
+                return {"status": "already_training", "job_id": str(self._job_counter)}
+            self._job_counter += 1
+            job = self._job_counter
+            t = threading.Thread(target=work, daemon=True, name=f"pyrope-train-{job}")
             self._train_thread = t
         t.start()
         if block:

@@ -166,13 +166,17 @@ class PolicyService:
         )
 
     def get_evaluations(self, req: pb.Empty) -> pb.EvaluationsResponse:
-        from pyrope_tpu.sidecar.evaluate_model import evaluate
+        from pyrope_tpu.sidecar.evaluate_model import evaluate, load_samples
 
+        try:
+            samples = load_samples(self.decision_log_path)
+        except OSError:
+            samples = []
         entries = []
         for version in self.models.list_staged():
             path = self.models.staging / f"{version}.joblib"
             try:
-                rep = evaluate(path, self.decision_log_path)
+                rep = evaluate(path, samples=samples)
             except (OSError, ValueError):
                 continue
             entries.append(

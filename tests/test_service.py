@@ -374,3 +374,30 @@ class TestPemLoader:
 
         monkeypatch.delenv("PYROPE_TLS_CERT", raising=False)
         assert server_context_from_env() is None
+
+
+class TestQuotaOrderingFix:
+    def test_concurrency_rejection_does_not_burn_daily_quota(self):
+        clk = ManualClock()
+        reg = TenantRegistry()
+        reg.create("t1", api_key="k",
+                   quotas=TenantQuota(max_concurrent_requests=1, daily_request_limit=3))
+        enf = TenantQuotaEnforcer(reg, clock=clk)
+        ok, lease, _, _ = enf.try_begin_request("t1")
+        assert ok
+        # retries rejected on concurrency must not consume the daily limit
+        for _ in range(10):
+            ok2, _, code, _ = enf.try_begin_request("t1")
+            assert not ok2 and code == "VEC_ERR_BUSY"
+        lease.release()
+        assert enf.try_begin_request("t1")[0]  # only 2nd daily slot used
+
+    def test_quotas_none_is_unlimited_budget(self):
+        from pyrope_tpu.service.tenants import TenantConfig
+
+        reg = TenantRegistry()
+        reg.create("t1", api_key="k")
+        reg._tenants["t1"].quotas = None  # degenerate config
+        enf = TenantQuotaEnforcer(reg, clock=ManualClock())
+        assert enf.try_begin_request("t1")[0]
+        assert not enf.is_over_budget("t1")

@@ -320,3 +320,31 @@ class TestFeatureEngineering:
         h.record("b", True)
         h.record("c", True)  # evicts "a" (LRU)
         assert h.hit_rate("a") is None
+
+
+class TestWorkerAutostart:
+    def test_policy_engine_starts_worker_thread(self):
+        done = []
+        w = LLMWorker(transport=lambda p: '{"ttl_seconds": 99}')
+        eng = LLMPolicyEngine(worker=w)  # must start the consumer thread
+        m = {"qps": 1, "cache_miss_rate": 0.1, "p99_latency_ms": 5, "cpu_utilization": 0.1}
+        eng.compute_policy("t", m)
+        import time
+        for _ in range(100):
+            if eng.stats["llm_decisions"]:
+                break
+            time.sleep(0.02)
+        assert eng.stats["llm_decisions"] == 1
+        assert eng.compute_policy("t", m)["ttl_seconds"] == 99
+        w.stop()
+
+    def test_bandit_periodic_persistence(self, tmp_path):
+        p = str(tmp_path / "b.pkl")
+        b = ContextualBanditEngine(epsilon=0.0, model_path=p)
+        m = {"qps": 1, "cache_miss_rate": 0.9, "p99_latency_ms": 99, "cpu_utilization": 0.9}
+        for _ in range(25):  # hits the save-every-25 gate
+            b.update(m, 1, +1.0)
+        import os
+        assert os.path.exists(p)
+        b2 = ContextualBanditEngine(epsilon=0.0, model_path=p)
+        assert b2.select_action(m) == 1
