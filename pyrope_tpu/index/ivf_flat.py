@@ -52,7 +52,7 @@ DEFAULT_NPROBE = 3  # ref: IvfFlatVectorIndex.cs:14 CombineNProbe = 3
 def rank_probes(q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdtype):
     """Rank centroids, pick the top-nprobe lists, and compute each probe's
     effective scan length under the max_scans budget (ref :183-219).
-    Returns (offs_p [B, nprobe], eff [B, nprobe])."""
+    Returns (probe [B, nprobe] list ids, offs_p, eff)."""
     cscores = score_matrix(q, cents, metric, compute_dtype=cdtype)
     cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
     _, probe = jax.lax.top_k(cscores, nprobe)
@@ -61,7 +61,7 @@ def rank_probes(q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdty
     before = jnp.cumsum(lens_p, axis=1) - lens_p          # rows scanned earlier
     budget = jnp.maximum(max_scans - before, 0)
     eff = jnp.minimum(lens_p, budget)                     # ref: break at MaxScans
-    return offs_p, eff
+    return probe, offs_p, eff
 
 
 def scan_probed_lists(
@@ -122,7 +122,7 @@ def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str
 
     @jax.jit
     def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, max_scans):
-        offs_p, eff = rank_probes(
+        _, offs_p, eff = rank_probes(
             q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdtype
         )
         return scan_probed_lists(

@@ -55,53 +55,64 @@ COARSE_SEED = 123  # ref: IvfPqVectorIndex.cs:67-70 coarse k-means seed 123
 DEFAULT_NPROBE = 3
 
 
+def adc_scan_probed_lists(
+    codes_perm, alive, q, cents, codebooks, probe, offs_p, eff,
+    *, k: int, l_pad: int, metric: Metric, row_base=0,
+):
+    """ADC scan of every probed list's code slice with a running top-k
+    merge (ref: IvfPqVectorIndex.cs:152-199). ``row_base`` offsets emitted
+    candidates for the sharded variant (shard*stride).
+
+    Shared by the single-chip kernel and
+    pyrope_tpu/parallel/sharded_ivf_pq.py."""
+    b = q.shape[0]
+    m = codes_perm.shape[1]
+    nprobe = probe.shape[1]
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
+    vals = jnp.full((b, k), -jnp.inf, jnp.float32)
+    gidx = jnp.full((b, k), -1, jnp.int32)
+
+    if metric != Metric.L2:
+        # dot table is residual-free: q·r̂ uses the same table per probe
+        ip_table = adc_ip_table(q, codebooks)       # [B, M, ksub]
+        qdotc = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
+
+    for p in range(nprobe):
+        c_ids = probe[:, p]
+        off = offs_p[:, p]
+        blocks = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(codes_perm, (o, 0), (l_pad, m))
+        )(off)                                      # [B, L_pad, M] uint8
+        alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
+        if metric == Metric.L2:
+            cent_p = cents[c_ids]                   # [B, D]
+            table = adc_l2_table(q - cent_p, codebooks)
+            scores = -adc_accumulate(table, blocks)  # score = −Σ table (ref :182-198)
+        else:
+            adc = adc_accumulate(ip_table, blocks)
+            base = jnp.take_along_axis(qdotc, c_ids[:, None], axis=1)  # q·c
+            scores = base + adc
+        mask = (j < eff[:, p : p + 1]) & alv
+        svals = jnp.where(mask, scores, -jnp.inf)
+        rows = row_base + off[:, None] + j
+        vals, gidx = merge_topk(vals, gidx, svals, rows, k)
+    return vals, gidx
+
+
 @functools.lru_cache(maxsize=None)
 def _ivfpq_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, probe_metric: Metric | None = None):
     @jax.jit
     def fn(cents, cvalid, codes_perm, alive, offsets, lens, codebooks, q, max_scans):
-        b = q.shape[0]
-        m = codes_perm.shape[1]
-        # probe ranking must match the metric rows were ASSIGNED with
-        # (COSINE builds assign by L2 on normalized rows; ranking by raw
-        # q·c drops the −‖c‖²/2 term and probes the wrong lists)
-        cscores = score_matrix(q, cents, probe_metric or metric)
-        cscores = jnp.where(cvalid[None, :], cscores, -jnp.inf)
-        _, probe = jax.lax.top_k(cscores, nprobe)      # [B, nprobe]
-        lens_p = lens[probe]
-        offs_p = offsets[probe]
-        before = jnp.cumsum(lens_p, axis=1) - lens_p
-        budget = jnp.maximum(max_scans - before, 0)
-        eff = jnp.minimum(lens_p, budget)
+        from pyrope_tpu.index.ivf_flat import rank_probes
 
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
-        vals = jnp.full((b, k), -jnp.inf, jnp.float32)
-        gidx = jnp.full((b, k), -1, jnp.int32)
-
-        if metric != Metric.L2:
-            # dot table is residual-free: q·r̂ uses the same table per probe
-            ip_table = adc_ip_table(q, codebooks)       # [B, M, ksub]
-            qdotc = jnp.dot(q, cents.T, preferred_element_type=jnp.float32)
-
-        for p in range(nprobe):
-            c_ids = probe[:, p]
-            off = offs_p[:, p]
-            blocks = jax.vmap(
-                lambda o: jax.lax.dynamic_slice(codes_perm, (o, 0), (l_pad, m))
-            )(off)                                      # [B, L_pad, M] uint8
-            alv = jax.vmap(lambda o: jax.lax.dynamic_slice(alive, (o,), (l_pad,)))(off)
-            if metric == Metric.L2:
-                cent_p = cents[c_ids]                   # [B, D]
-                table = adc_l2_table(q - cent_p, codebooks)
-                scores = -adc_accumulate(table, blocks)  # score = −Σ table (ref :182-198)
-            else:
-                adc = adc_accumulate(ip_table, blocks)
-                base = jnp.take_along_axis(qdotc, c_ids[:, None], axis=1)  # q·c
-                scores = base + adc
-            mask = (j < eff[:, p : p + 1]) & alv
-            svals = jnp.where(mask, scores, -jnp.inf)
-            rows = off[:, None] + j
-            vals, gidx = merge_topk(vals, gidx, svals, rows, k)
-        return vals, gidx
+        probe, offs_p, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        return adc_scan_probed_lists(
+            codes_perm, alive, q, cents, codebooks, probe, offs_p, eff,
+            k=k, l_pad=l_pad, metric=metric,
+        )
 
     return fn
 

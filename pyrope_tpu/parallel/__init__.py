@@ -9,11 +9,13 @@ merge ("sequence parallelism over the database axis", SURVEY §5.7).
 from pyrope_tpu.parallel.mesh import default_mesh, make_mesh
 from pyrope_tpu.parallel.sharded_flat import ShardedFlatIndex, sharded_kmeans_step
 from pyrope_tpu.parallel.sharded_ivf import ShardedIvfFlatIndex
+from pyrope_tpu.parallel.sharded_ivf_pq import ShardedIvfPqIndex
 
 __all__ = [
     "default_mesh",
     "make_mesh",
     "ShardedFlatIndex",
     "ShardedIvfFlatIndex",
+    "ShardedIvfPqIndex",
     "sharded_kmeans_step",
 ]

@@ -1,21 +1,14 @@
-"""Corpus-sharded IVF-Flat: probed-list scan over a device mesh.
+"""Corpus-sharded IVF-PQ: ADC scan over a device mesh.
 
-Multi-chip layout (SURVEY §5.8/§7.8): every inverted list's rows are dealt
-round-robin across the mesh's ``data`` axis, so each shard owns an equal
-~1/ndev slice of *every* list in its own contiguous cluster-major slab
-(local CSR: offsets + lens). A query (replicated) ranks the replicated
-centroids identically on every shard, probes the same top-nprobe lists, and
-scans only its local slices; the [B, k] local candidates ride one ICI
-``all_gather`` and every shard reduces to the final top-k.
+Same layout as ShardedIvfFlatIndex (pyrope_tpu/parallel/sharded_ivf.py) —
+every inverted list's PQ codes are dealt round-robin across the ``data``
+axis so each shard owns ~1/ndev of every list in its own contiguous
+cluster-major code slab — but the per-shard scan is the ADC kernel
+(tables from replicated codebooks, gather-free one-hot accumulation).
+At M=4/ksub=256 each shard holds N·4/ndev bytes of codes: a 1B-vector
+corpus fits a 16-chip v5e pod in ~250 MB of codes per chip.
 
-Why round-robin rows instead of whole lists per shard: probe selection is
-query-dependent, so whole-list placement makes load skew with the query
-distribution (hot lists pile onto one chip); slicing every list keeps all
-chips busy for every query — the "sequence parallelism over the database
-axis" design from SURVEY §5.7.
-
-Candidate encoding across shards: global_candidate = shard * stride +
-local_slab_pos, decoded on host via a per-shard row map.
+Candidate encoding across shards: shard * stride + local_slab_pos.
 """
 
 from __future__ import annotations
@@ -27,7 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyrope_tpu.index.ivf_flat import IvfFlatIndex, rank_probes, scan_probed_lists
+from pyrope_tpu.index.ivf_flat import rank_probes
+from pyrope_tpu.index.ivf_pq import IvfPqIndex, adc_scan_probed_lists
 from pyrope_tpu.ops.scalars import device_i32
 from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
 from pyrope_tpu.types import (
@@ -39,31 +33,21 @@ from pyrope_tpu.types import (
 from pyrope_tpu.utils.shapes import batch_bucket, round_up
 
 
-def make_sharded_ivf_search(
+def make_sharded_ivfpq_search(
     mesh: Mesh, metric: Metric, k: int, nprobe: int, l_pad: int,
-    stride: int, compute: str | None,
+    stride: int, probe_metric: Metric,
 ):
-    """shard_map'd probed scan. Per-shard inputs carry a leading mesh-axis
-    dim of 1 inside the body."""
-    cdtype = None if compute is None else jnp.dtype(compute)
-    prec = jax.lax.Precision.HIGHEST if compute is None else None
-
-    def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, ms_local):
-        xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
+    def local(cents, cvalid, codes, alive, offsets, lens, codebooks, q, ms_local):
+        codes, alive = codes[0], alive[0]
         offsets, lens = offsets[0], lens[0]
         shard = jax.lax.axis_index(DATA_AXIS)
-
-        # probe selection is identical on every shard (replicated centroids)
-        _, offs_p, eff = rank_probes(
-            q, cents, cvalid, offsets, lens, nprobe, ms_local, metric, cdtype
+        probe, offs_p, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, probe_metric, None
         )
-        # row ids encode the shard so merged candidates stay globally unique
-        vals, gidx = scan_probed_lists(
-            xperm, sqnorm, alive, q, offs_p, eff,
-            k=k, l_pad=l_pad, metric=metric, cdtype=cdtype, prec=prec,
-            row_base=shard * stride,
+        vals, gidx = adc_scan_probed_lists(
+            codes, alive, q, cents, codebooks, probe, offs_p, eff,
+            k=k, l_pad=l_pad, metric=metric, row_base=shard * stride,
         )
-
         vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
         mvals, pos = jax.lax.top_k(vals_all, k)
@@ -75,9 +59,10 @@ def make_sharded_ivf_search(
         local,
         mesh=mesh,
         in_specs=(
-            P(None, None), P(None),                      # centroids replicated
-            P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
-            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(None, None), P(None),                        # centroids replicated
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None),  # codes, alive
+            P(DATA_AXIS, None), P(DATA_AXIS, None),        # offsets, lens
+            P(None, None, None),                           # codebooks replicated
             P(None, None), P(),
         ),
         out_specs=(P(None, None), P(None, None)),
@@ -86,12 +71,8 @@ def make_sharded_ivf_search(
     return jax.jit(fn)
 
 
-class ShardedIvfFlatIndex(IvfFlatIndex):
-    """IvfFlatIndex whose built slab is list-sliced over a 1-D mesh.
-
-    Host API/semantics identical to IvfFlatIndex (buffer, build, options);
-    only the built-slab layout and the probed-scan kernel differ.
-    """
+class ShardedIvfPqIndex(IvfPqIndex):
+    """IvfPqIndex whose code slab is list-sliced over a 1-D mesh."""
 
     def __init__(
         self,
@@ -100,18 +81,19 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         *,
         mesh: Optional[Mesh] = None,
         nlist: int = 100,
+        pq_m: int = 4,
+        ksub: int = 256,
         nprobe: int = 3,
-        compute_dtype: Optional[str] = None,
-        seed: int = 42,
+        seed: int = 123,
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = self.mesh.devices.size
         super().__init__(
-            dim, metric, nlist=nlist, nprobe=nprobe,
-            compute_dtype=compute_dtype, seed=seed,
+            dim, metric, nlist=nlist, pq_m=pq_m, ksub=ksub,
+            nprobe=nprobe, seed=seed,
         )
         self._fn_cache: dict = {}
-        self._enc_to_perm: Optional[np.ndarray] = None   # encoded -> perm row
+        self._enc_to_perm: Optional[np.ndarray] = None
 
     def _sync(self) -> dict:
         if self._dev is not None and not self._dirty:
@@ -119,7 +101,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         nd = self._ndev
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
-        # local list slices: list l on shard s gets rows off_l+s, off_l+s+nd, ...
+        m = self.pq.m
         local_lens = np.zeros((nd, kpad), np.int32)
         for li in range(k):
             ln = int(self._lens[li])
@@ -131,8 +113,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
         stride = cap_local
 
-        xp = np.zeros((nd, cap_local, self.dim), np.float32)
-        sq = np.zeros((nd, cap_local), np.float32)
+        codes = np.zeros((nd, cap_local, m), np.uint8)
         alive = np.zeros((nd, cap_local), bool)
         enc_to_perm = np.full(nd * cap_local, -1, np.int64)
         cursor = np.zeros(nd, np.int64)
@@ -143,19 +124,23 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
                 rows = np.arange(off + s, off + ln, nd)
                 c = int(cursor[s])
                 local_offsets[s, li] = c
-                m = len(rows)
-                if m:
-                    xp[s, c : c + m] = self._xperm[rows]
-                    alive[s, c : c + m] = self._alive[rows]
-                    enc_to_perm[s * stride + c : s * stride + c + m] = rows
-                cursor[s] = c + m
-        sq[:] = np.einsum("snd,snd->sn", xp, xp)
+                n_rows = len(rows)
+                if n_rows:
+                    codes[s, c : c + n_rows] = self._codes[rows]
+                    alive[s, c : c + n_rows] = self._alive[rows]
+                    enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
+                cursor[s] = c + n_rows
 
         cents = np.zeros((kpad, self.dim), np.float32)
         cvalid = np.zeros(kpad, bool)
         if self._centroids is not None:
             cents[:k] = self._centroids
             cvalid[:k] = True
+        cbs = (
+            self.pq.codebooks
+            if self.pq.codebooks is not None
+            else np.zeros((m, self.pq.ksub, self.pq.sub), np.float32)
+        )
 
         row3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         row2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
@@ -163,11 +148,11 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         self._dev = {
             "cents": jnp.asarray(cents),
             "cvalid": jnp.asarray(cvalid),
-            "xperm": jax.device_put(jnp.asarray(xp), row3),
-            "sqnorm": jax.device_put(jnp.asarray(sq), row2),
+            "codes": jax.device_put(jnp.asarray(codes), row3),
             "alive": jax.device_put(jnp.asarray(alive), row2),
             "offsets": jax.device_put(jnp.asarray(local_offsets), row2),
             "lens": jax.device_put(jnp.asarray(local_lens), row2),
+            "codebooks": jnp.asarray(cbs),
             "l_pad": l_pad,
             "stride": stride,
             "k_actual": k,
@@ -191,28 +176,27 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         dev = self._sync()
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
         if options.max_scans is None:
-            # uncapped: a shard may hold up to ceil(len/ndev) rows of EVERY
-            # list plus rounding slack, so the only safe no-op budget is the
-            # local slab capacity itself
             ms_local = dev["stride"]
         else:
             ms_local = (options.max_scans + self._ndev - 1) // self._ndev
+        search_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        )
+        probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
         key = (top_k, nprobe, dev["l_pad"], dev["stride"])
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._fn_cache[key] = make_sharded_ivf_search(
-                self.mesh, self.metric, top_k, nprobe, dev["l_pad"],
-                dev["stride"], self.compute_dtype,
+            fn = self._fn_cache[key] = make_sharded_ivfpq_search(
+                self.mesh, search_metric, top_k, nprobe, dev["l_pad"],
+                dev["stride"], probe_metric,
             )
         return fn(
-            dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
-            dev["alive"], dev["offsets"], dev["lens"], q, device_i32(ms_local),
+            dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
+            dev["offsets"], dev["lens"], dev["codebooks"], q, device_i32(ms_local),
         )
 
     def _decode(self, rows: np.ndarray) -> np.ndarray:
-        """Encoded candidates -> global perm rows (-1 stays -1)."""
-        out = np.where(rows >= 0, self._enc_to_perm[np.maximum(rows, 0)], -1)
-        return out
+        return np.where(rows >= 0, self._enc_to_perm[np.maximum(rows, 0)], -1)
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         dec = self._decode(np.asarray(rows))
@@ -240,8 +224,9 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         )
         if not self._built or self._main_live == 0:
             return buf_hits
+        qq = self._normalize(q) if self.metric == Metric.COSINE else q
         bb = batch_bucket(b)
-        qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
+        qp = np.pad(qq, ((0, bb - b), (0, 0))) if bb != b else qq
         vals, rows = self._device_scan(jnp.asarray(qp), top_k, options)
         vals = np.asarray(vals[:b])
         rows = self._decode(np.asarray(rows[:b]))

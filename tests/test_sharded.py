@@ -163,3 +163,47 @@ class TestShardedFlatSnapshot:
         assert idx.mesh is mesh  # caller-provided mesh preserved
         assert idx.get_stats().count == 100
         assert idx.search(vecs[5], 1)[0].id == "v5"
+
+
+class TestShardedIvfPq:
+    def test_matches_single_device_ivfpq(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        rng = np.random.default_rng(0)
+        n, dim = 3000, 32
+        base = rng.random((n, dim), dtype=np.float32)
+        ids = [str(i) for i in range(n)]
+        q = rng.random((8, dim), dtype=np.float32)
+
+        ref = pt.IvfPqIndex(dim, "L2", nlist=8, pq_m=4, ksub=64)
+        ref.add_batch(ids, base)
+        ref.build()
+        sh = ShardedIvfPqIndex(dim, "L2", mesh=make_mesh(8), nlist=8, pq_m=4, ksub=64)
+        sh.add_batch(ids, base)
+        sh.build()
+        opts = pt.SearchOptions(nprobe=8)
+        r_ref = ref.search_batch(q, 10, opts)
+        r_sh = sh.search_batch(q, 10, opts)
+        for a, b in zip(r_ref, r_sh):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-2
+
+    def test_buffer_and_delete(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        rng = np.random.default_rng(1)
+        base = rng.random((400, 16), dtype=np.float32)
+        sh = ShardedIvfPqIndex(16, "L2", mesh=make_mesh(4), nlist=4, pq_m=4, ksub=32)
+        sh.add_batch([str(i) for i in range(400)], base)
+        sh.build()
+        fresh = rng.random(16).astype(np.float32)
+        assert sh.add("fresh", fresh)
+        assert sh.search(fresh, 1)[0].id == "fresh"
+        assert sh.delete("7")
+        hits = sh.search(base[7], 5, pt.SearchOptions(nprobe=4))
+        assert all(h.id != "7" for h in hits)
