@@ -207,3 +207,23 @@ class TestShardedIvfPq:
         assert sh.delete("7")
         hits = sh.search(base[7], 5, pt.SearchOptions(nprobe=4))
         assert all(h.id != "7" for h in hits)
+
+
+class TestShardedSnapshotRoundtrips:
+    def test_sharded_ivf_snapshot_load(self, tmp_path):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        mesh = make_mesh(4)
+        sh = ShardedIvfFlatIndex(16, "L2", mesh=mesh, nlist=4)
+        rng = np.random.default_rng(3)
+        base = rng.random((300, 16), dtype=np.float32)
+        sh.add_batch([str(i) for i in range(300)], base)
+        sh.build()
+        p = str(tmp_path / "sivf.npz")
+        sh.snapshot(p)
+        sh.load(p)
+        assert sh.mesh is mesh
+        hits = sh.search(base[11], 3, pt.SearchOptions(nprobe=4))
+        assert hits[0].id == "11"
