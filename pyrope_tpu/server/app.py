@@ -171,6 +171,11 @@ def enable_compilation_cache(path: str = "/tmp/pyrope_jax_cache") -> None:
 
 
 async def _amain(args) -> None:
+    if args.platform:
+        # the site hook can force JAX_PLATFORMS; an explicit flag wins
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     enable_compilation_cache()
     app = PyropeApp(
         config=config_from_env(),
@@ -194,6 +199,8 @@ def main() -> None:
     p.add_argument("--http-port", type=int, default=8080)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--sidecar", default=None, help="sidecar gRPC endpoint host:port")
+    p.add_argument("--platform", default=os.environ.get("PYROPE_JAX_PLATFORM"),
+                   help="pin the jax platform (e.g. cpu) — overrides site hooks")
     args = p.parse_args()
     try:
         asyncio.run(_amain(args))
