@@ -83,7 +83,11 @@ def kmeans_train(
     block: int = 65536,
     compute_dtype: str | None = None,
 ) -> np.ndarray:
-    """Train k centroids. Returns [k, D] float32 (k clipped to N)."""
+    """Train k centroids. Returns [k, D] float32 (k clipped to N).
+
+    Default fp32-HIGHEST matmuls: measured on v5e the k-means cost is
+    streaming/overhead-dominated, so bf16 training buys nothing while
+    perturbing codebooks — keep training bit-stable."""
     metric = Metric.parse(metric)
     data = np.asarray(data, np.float32)
     n = data.shape[0]

@@ -49,7 +49,10 @@ class ProductQuantizer:
         cbs = np.zeros((self.m, self.ksub, self.sub), np.float32)
         for mi in range(self.m):
             subdata = np.ascontiguousarray(data[:, mi * self.sub : (mi + 1) * self.sub])
-            c = kmeans_train(subdata, ks, Metric.L2, seed=seed + mi, iters=iters)
+            # sub-quantizers resolve fine residual structure: train in exact
+            # fp32 (coarse IVF training uses the faster bf16 default)
+            c = kmeans_train(subdata, ks, Metric.L2, seed=seed + mi, iters=iters,
+                             compute_dtype=None)
             cbs[mi, : c.shape[0]] = c
             if c.shape[0] < self.ksub:
                 # duplicate last centroid so unused codes stay harmless
