@@ -355,13 +355,14 @@ class FlatIndex(VectorIndex):
 
             b = q.shape[0]
             bt = min(next_pow2(max(b, 8)), 64)
-            if b % bt:
-                q = jnp.pad(q, ((0, bt - b % bt), (0, 0)))
+            qp = jnp.pad(q, ((0, bt - b % bt), (0, 0))) if b % bt else q
             rt = min(4096, self._cap)
-            return pallas_flat_topk(
-                q, dev["vecs"], dev["sqnorm"], dev["alive"], ms_int, top_k,
+            vals, rows = pallas_flat_topk(
+                qp, dev["vecs"], dev["sqnorm"], dev["alive"], ms_int, top_k,
                 self.metric, row_tile=rt, batch_tile=bt,
             )
+            # drop pad rows: every selection mode returns [B, k]
+            return vals[:b], rows[:b]
         fn = _dense_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 

@@ -39,6 +39,40 @@ from pyrope_tpu.types import (
 from pyrope_tpu.utils.shapes import batch_bucket, round_up
 
 
+def roundrobin_layout(lens: np.ndarray, offsets: np.ndarray, nd: int, kpad: int):
+    """Deal every list's rows round-robin across nd shards.
+
+    Returns (local_lens [nd, kpad], local_offsets [nd, kpad], l_pad,
+    cap_local, placements) where placements is a list of
+    (shard, dst_start, global_rows) copy instructions for filling the
+    per-shard slabs. Shared by the sharded IVF-Flat and IVF-PQ layouts —
+    cap_local includes an l_pad tail so probe dynamic-slices never clamp.
+    """
+    k = lens.shape[0]
+    local_lens = np.zeros((nd, kpad), np.int32)
+    for li in range(k):
+        ln = int(lens[li])
+        for s in range(nd):
+            local_lens[s, li] = (ln - s + nd - 1) // nd if ln > s else 0
+    l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
+    local_offsets = np.zeros((nd, kpad), np.int32)
+    caps = local_lens.sum(axis=1)
+    cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+    placements = []
+    cursor = np.zeros(nd, np.int64)
+    for li in range(k):
+        off = int(offsets[li])
+        ln = int(lens[li])
+        for s in range(nd):
+            rows = np.arange(off + s, off + ln, nd)
+            c = int(cursor[s])
+            local_offsets[s, li] = c
+            if len(rows):
+                placements.append((s, c, rows))
+            cursor[s] = c + len(rows)
+    return local_lens, local_offsets, l_pad, cap_local, placements
+
+
 def make_sharded_ivf_search(
     mesh: Mesh, metric: Metric, k: int, nprobe: int, l_pad: int,
     stride: int, compute: str | None,
@@ -119,37 +153,20 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         nd = self._ndev
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
-        # local list slices: list l on shard s gets rows off_l+s, off_l+s+nd, ...
-        local_lens = np.zeros((nd, kpad), np.int32)
-        for li in range(k):
-            ln = int(self._lens[li])
-            for s in range(nd):
-                local_lens[s, li] = (ln - s + nd - 1) // nd if ln > s else 0
-        l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
-        local_offsets = np.zeros((nd, kpad), np.int32)
-        caps = local_lens.sum(axis=1)
-        cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+        local_lens, local_offsets, l_pad, cap_local, placements = roundrobin_layout(
+            self._lens, self._offsets, nd, kpad
+        )
         stride = cap_local
 
         xp = np.zeros((nd, cap_local, self.dim), np.float32)
-        sq = np.zeros((nd, cap_local), np.float32)
         alive = np.zeros((nd, cap_local), bool)
         enc_to_perm = np.full(nd * cap_local, -1, np.int64)
-        cursor = np.zeros(nd, np.int64)
-        for li in range(k):
-            off = int(self._offsets[li])
-            ln = int(self._lens[li])
-            for s in range(nd):
-                rows = np.arange(off + s, off + ln, nd)
-                c = int(cursor[s])
-                local_offsets[s, li] = c
-                m = len(rows)
-                if m:
-                    xp[s, c : c + m] = self._xperm[rows]
-                    alive[s, c : c + m] = self._alive[rows]
-                    enc_to_perm[s * stride + c : s * stride + c + m] = rows
-                cursor[s] = c + m
-        sq[:] = np.einsum("snd,snd->sn", xp, xp)
+        for s, c, rows in placements:
+            m = len(rows)
+            xp[s, c : c + m] = self._xperm[rows]
+            alive[s, c : c + m] = self._alive[rows]
+            enc_to_perm[s * stride + c : s * stride + c + m] = rows
+        sq = np.einsum("snd,snd->sn", xp, xp).astype(np.float32)
 
         cents = np.zeros((kpad, self.dim), np.float32)
         cvalid = np.zeros(kpad, bool)
@@ -197,7 +214,8 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             ms_local = dev["stride"]
         else:
             ms_local = (options.max_scans + self._ndev - 1) // self._ndev
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"])
+        # metric is part of the key: load() may swap self.metric in place
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = self._fn_cache[key] = make_sharded_ivf_search(

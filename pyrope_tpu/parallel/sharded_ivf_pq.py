@@ -24,6 +24,7 @@ from pyrope_tpu.index.ivf_flat import rank_probes
 from pyrope_tpu.index.ivf_pq import IvfPqIndex, adc_scan_probed_lists
 from pyrope_tpu.ops.scalars import device_i32
 from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.sharded_ivf import roundrobin_layout
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     Metric,
@@ -102,34 +103,19 @@ class ShardedIvfPqIndex(IvfPqIndex):
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
         m = self.pq.m
-        local_lens = np.zeros((nd, kpad), np.int32)
-        for li in range(k):
-            ln = int(self._lens[li])
-            for s in range(nd):
-                local_lens[s, li] = (ln - s + nd - 1) // nd if ln > s else 0
-        l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
-        local_offsets = np.zeros((nd, kpad), np.int32)
-        caps = local_lens.sum(axis=1)
-        cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+        local_lens, local_offsets, l_pad, cap_local, placements = roundrobin_layout(
+            self._lens, self._offsets, nd, kpad
+        )
         stride = cap_local
 
         codes = np.zeros((nd, cap_local, m), np.uint8)
         alive = np.zeros((nd, cap_local), bool)
         enc_to_perm = np.full(nd * cap_local, -1, np.int64)
-        cursor = np.zeros(nd, np.int64)
-        for li in range(k):
-            off = int(self._offsets[li])
-            ln = int(self._lens[li])
-            for s in range(nd):
-                rows = np.arange(off + s, off + ln, nd)
-                c = int(cursor[s])
-                local_offsets[s, li] = c
-                n_rows = len(rows)
-                if n_rows:
-                    codes[s, c : c + n_rows] = self._codes[rows]
-                    alive[s, c : c + n_rows] = self._alive[rows]
-                    enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
-                cursor[s] = c + n_rows
+        for s, c, rows in placements:
+            n_rows = len(rows)
+            codes[s, c : c + n_rows] = self._codes[rows]
+            alive[s, c : c + n_rows] = self._alive[rows]
+            enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
 
         cents = np.zeros((kpad, self.dim), np.float32)
         cvalid = np.zeros(kpad, bool)
@@ -183,7 +169,8 @@ class ShardedIvfPqIndex(IvfPqIndex):
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
         probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"])
+        # metric is part of the key: load() may swap self.metric in place
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = self._fn_cache[key] = make_sharded_ivfpq_search(

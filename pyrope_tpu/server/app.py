@@ -68,7 +68,10 @@ class SidecarMetricsReporter:
             except SidecarUnavailable:
                 self.engine.metrics.record_ai_fallback()
                 continue
-            self.engine.policy.update_policy(WarmPathPolicy.from_dict(out["policy"]))
+            policy = out.get("policy")
+            if not policy:
+                continue  # malformed response: keep the cached policy
+            self.engine.policy.update_policy(WarmPathPolicy.from_dict(policy))
             nxt = out.get("next_report_interval_ms")
             if nxt:
                 self.interval_s = max(1.0, nxt / 1000.0)
@@ -132,20 +135,37 @@ class PyropeApp:
     async def _background_loop(self) -> None:
         """1 s cadence for prefetch/alias/SLO ticks; reporter on its own
         (server-adjustable) interval."""
+        import sys
+        import time as _time
+
         next_report = 0.0
+        last_err_log = 0.0
         while True:
             await asyncio.sleep(1.0)
+            # each background duty fails independently (a broken prefetcher
+            # must not starve the sidecar reporter), and failures are logged
+            # (rate-limited) instead of vanishing
             try:
                 await asyncio.to_thread(self.engine.tick_background)
-                if self.reporter is not None:
-                    next_report -= 1.0
-                    if next_report <= 0:
-                        await asyncio.to_thread(self.reporter.tick)
-                        next_report = self.reporter.interval_s
             except asyncio.CancelledError:
                 raise
-            except Exception:
-                pass  # background work never kills the server
+            except Exception as e:
+                if _time.monotonic() - last_err_log > 30:
+                    last_err_log = _time.monotonic()
+                    print(f"[pyrope] tick_background failed: {e!r}", file=sys.stderr)
+            if self.reporter is not None:
+                next_report -= 1.0
+                if next_report <= 0:
+                    next_report = self.reporter.interval_s  # even on failure
+                    try:
+                        await asyncio.to_thread(self.reporter.tick)
+                    except asyncio.CancelledError:
+                        raise
+                    except Exception as e:
+                        if _time.monotonic() - last_err_log > 30:
+                            last_err_log = _time.monotonic()
+                            print(f"[pyrope] sidecar report failed: {e!r}",
+                                  file=sys.stderr)
 
 
 def config_from_env() -> EngineConfig:

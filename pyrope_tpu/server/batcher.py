@@ -9,9 +9,10 @@ systolic array and every dispatch pays the host→device link once.
 The batcher turns concurrent single-query requests into one [B, N] device
 batch: the first arrival for a (index, top_k, options) key becomes the
 **leader**, waits up to ``max_wait_ms`` for followers (or until
-``max_batch``), then executes one ``index.search_batch`` for the group and
-distributes the per-query results. Query batches already ≥ max_batch bypass
-the wait entirely.
+``max_batch`` fills, which notifies the leader immediately), then executes
+one ``index.search_batch`` for the group and distributes the per-query
+results. Callers with an already-batched [B, D] workload should call
+``index.search_batch`` directly — ``search`` takes exactly one query.
 """
 
 from __future__ import annotations
@@ -37,8 +38,13 @@ class BatcherStats:
         return self.queries / self.batches if self.batches else 0.0
 
 
+class BatchError(RuntimeError):
+    """Wraps a batch-execution failure for each rider (re-raising one shared
+    exception instance from many threads races on its __traceback__)."""
+
+
 class _Group:
-    __slots__ = ("queries", "results", "error", "done", "closed")
+    __slots__ = ("queries", "results", "error", "done", "closed", "full")
 
     def __init__(self):
         self.queries: list[np.ndarray] = []
@@ -46,6 +52,7 @@ class _Group:
         self.error: Optional[BaseException] = None
         self.done = threading.Event()
         self.closed = False
+        self.full = threading.Event()  # set when max_batch fills
 
 
 class MicroBatcher:
@@ -68,7 +75,12 @@ class MicroBatcher:
         options: SearchOptions = DEFAULT_SEARCH_OPTIONS,
     ) -> list[SearchResult]:
         """One logical query; may ride a shared device batch."""
-        q = np.asarray(query, np.float32).reshape(-1)
+        q = np.asarray(query, np.float32)
+        if q.ndim != 1:
+            raise ValueError(
+                f"search() takes one query vector, got shape {q.shape}; "
+                "use index.search_batch for pre-batched workloads"
+            )
         key = self._key(index, top_k, options)
         with self._lock:
             group = self._groups.get(key)
@@ -83,13 +95,12 @@ class MicroBatcher:
             if slot + 1 >= self.max_batch:
                 group.closed = True
                 self._groups.pop(key, None)
+                group.full.set()  # wake the leader immediately
 
         if leader:
             if not group.closed:
-                # wait for followers; closes either by max_batch or timeout
-                deadline = time.monotonic() + self.max_wait_s
-                while time.monotonic() < deadline and not group.closed:
-                    time.sleep(self.max_wait_s / 8)
+                # wait for followers; a full group wakes us without polling
+                group.full.wait(self.max_wait_s)
                 with self._lock:
                     if not group.closed:
                         group.closed = True
@@ -112,7 +123,7 @@ class MicroBatcher:
             group.done.wait()
 
         if group.error is not None:
-            raise group.error
+            raise BatchError(str(group.error)) from group.error
         return group.results[slot]
 
     def to_dict(self) -> dict:

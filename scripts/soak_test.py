@@ -84,7 +84,7 @@ def main() -> None:
                     bump("delete")
                 else:
                     s = eng.stats("soak", "idx")
-                    assert s is not None and s["count"] >= args.n - 1
+                    assert s is not None and s["count"] >= args.n  # base rows never deleted
                     bump("stats")
         except Exception as e:  # noqa: BLE001
             errors.append((wid, repr(e)))
@@ -99,9 +99,12 @@ def main() -> None:
             errors.append(("builder", repr(e)))
 
     def background():
-        while time.time() < stop_at:
-            time.sleep(0.5)
-            eng.tick_background()
+        try:
+            while time.time() < stop_at:
+                time.sleep(0.5)
+                eng.tick_background()
+        except Exception as e:  # noqa: BLE001
+            errors.append(("background", repr(e)))
 
     threads = [threading.Thread(target=worker, args=(w,)) for w in range(args.clients)]
     threads += [threading.Thread(target=builder), threading.Thread(target=background)]
@@ -110,6 +113,8 @@ def main() -> None:
         t.start()
     for t in threads:
         t.join(timeout=args.seconds + 120)
+        if t.is_alive():
+            errors.append((t.name, "DEADLOCK: thread still alive after join timeout"))
     wall = time.time() - t0
 
     print(f"ops: {counters} in {wall:.1f}s "
@@ -122,7 +127,7 @@ def main() -> None:
     r = eng.search("soak", "idx", base[1] + 1e-4, 5)
     assert r.ok and len(r.hits) > 0
     s = eng.stats("soak", "idx")
-    assert s["count"] >= args.n - 1
+    assert s["count"] >= args.n
     print(f"SOAK OK: {sum(counters.values())} ops, 0 errors")
 
 

@@ -61,15 +61,16 @@ class TestMicroBatcher:
         assert b.stats.max_batch_seen == 2
 
     def test_error_propagates_to_riders(self):
+        from pyrope_tpu.server.batcher import BatchError
+
         idx, vecs = make_index(dim=8)
         b = MicroBatcher(max_batch=4, max_wait_ms=5)
         bad = np.zeros(3, np.float32)  # dim mismatch -> search_batch raises
-        try:
+        with np.testing.assert_raises(BatchError):
             b.search(idx, bad, 1)
-            raised = False
-        except ValueError:
-            raised = True
-        assert raised
+        # pre-batched arrays are rejected up front, not flattened
+        with np.testing.assert_raises(ValueError):
+            b.search(idx, vecs[:4], 1)
 
     def test_distinct_options_do_not_mix(self):
         import pyrope_tpu as pt
