@@ -168,7 +168,6 @@ def run_config(
     build_s = time.perf_counter() - t0
     log(f"[{name}] build: {build_s:.2f}s")
 
-    import jax
     import jax.numpy as jnp
 
     opts = pt.SearchOptions()

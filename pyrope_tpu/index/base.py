@@ -10,7 +10,7 @@ query surface that is the TPU engine's first-class entry point, and
 from __future__ import annotations
 
 import abc
-from typing import Iterable, Iterator, Optional, Sequence
+from typing import Iterator, Optional, Sequence
 
 import numpy as np
 

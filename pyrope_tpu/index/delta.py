@@ -23,11 +23,9 @@ from typing import Iterator, Optional
 import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
-from pyrope_tpu.index.flat import FlatIndex
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     IndexStats,
-    Metric,
     SearchOptions,
     SearchResult,
 )

@@ -38,7 +38,6 @@ import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
 from pyrope_tpu.index.flat import FlatIndex
-from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
 from pyrope_tpu.ops.pq import ProductQuantizer, adc_accumulate, adc_ip_table, adc_l2_table
 from pyrope_tpu.ops.topk import merge_topk

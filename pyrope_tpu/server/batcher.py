@@ -19,8 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
-import time
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

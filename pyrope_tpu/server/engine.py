@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -56,7 +56,7 @@ from pyrope_tpu.service import (
 )
 from pyrope_tpu.service.cost import is_cluster_close_enough
 from pyrope_tpu.service.prefetch import PredictivePrefetcher, PrefetchBackgroundQueue
-from pyrope_tpu.types import IndexConfig, Metric, SearchOptions, SearchResult
+from pyrope_tpu.types import IndexConfig, SearchOptions, SearchResult
 from pyrope_tpu.utils.clock import SYSTEM_CLOCK, Clock
 from pyrope_tpu.utils.naming import validate_name
 

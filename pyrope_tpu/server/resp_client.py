@@ -10,7 +10,7 @@ the environment ships no redis-py.
 from __future__ import annotations
 
 import socket
-from typing import Optional, Union
+from typing import Union
 
 Reply = Union[str, bytes, int, None, list]
 

@@ -12,7 +12,6 @@ next call.
 
 from __future__ import annotations
 
-import json
 import threading
 from typing import Optional
 

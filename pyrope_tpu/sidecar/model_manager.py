@@ -17,7 +17,6 @@ from __future__ import annotations
 import json
 import shutil
 import threading
-import time
 from collections import deque
 from pathlib import Path
 from typing import Callable, Optional
