@@ -143,6 +143,13 @@ def run_config(
             if query_fvecs
             else synthetic_queries(max(n_queries, batch), dim)
         )
+        if queries.shape[1] != dim:
+            raise SystemExit(
+                f"query dim {queries.shape[1]} != base dim {dim} in {query_fvecs}"
+            )
+        if len(queries) < batch:  # short query files tile up to one batch
+            reps = -(-batch // len(queries))
+            queries = np.tile(queries, (reps, 1))[:batch]
         log(f"[{name}] fvecs dataset: {base.shape} base, {queries.shape} queries")
     elif name in CLUSTERED:
         from pyrope_tpu.utils.datasets import (
@@ -213,10 +220,9 @@ def run_config(
     truth = ground_truth(base, gt_q, topk, "L2")
     vals, rows = idx.device_search(q_dev[0], topk, opts)
     id_lists = idx.resolve_rows(np.asarray(rows))
-    ids = np.array(
-        [[int(i) if i else -1 for i in row] for row in id_lists]
-    )
-    recall = recall_at_k(ids, truth, topk)
+    from pyrope_tpu.utils.datasets import id_lists_to_rows
+
+    recall = recall_at_k(id_lists_to_rows(id_lists), truth, topk)
 
     out = {
         "config": name,

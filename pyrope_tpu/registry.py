@@ -28,7 +28,12 @@ def create_index(config: IndexConfig) -> DeltaIndex:
     """Delta(head=Flat|HNSW, tail=algo) — ref: VectorIndexRegistry.cs:87-112
     (head defaults to the reference's BruteForce; HNSW head supported per
     DeltaVectorIndex.cs compaction of either)."""
-    algo = config.algorithm.upper()
+    algo = config.algorithm.upper().replace("-", "_").replace(" ", "_")
+    if algo not in ("FLAT", "IVF_FLAT", "IVFFLAT", "IVF_PQ", "IVFPQ", "HNSW"):
+        raise ValueError(
+            f"unknown algorithm {config.algorithm!r} "
+            "(expected FLAT | IVF_FLAT | IVF_PQ | HNSW)"
+        )
     p = config.params
     if config.head_algorithm.upper() == "HNSW":
         head: VectorIndex = HnswIndex(
@@ -42,7 +47,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
         )
-    elif algo == "IVF_PQ":
+    elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(
             config.dim, config.metric, nlist=p.nlist, pq_m=p.pq_m, ksub=p.k,
         )
@@ -100,10 +105,8 @@ class VectorIndexRegistry:
                         f"metric mismatch: index has {st.config.metric}, got {metric}"
                     )
                 return st
-            st = IndexState(
-                index=create_index(IndexConfig(dim=dim, metric=metric)),
-                config=IndexConfig(dim=dim, metric=metric),
-            )
+            cfg = IndexConfig(dim=dim, metric=metric)
+            st = IndexState(index=create_index(cfg), config=cfg)
             self._states[key] = st
             return st
 

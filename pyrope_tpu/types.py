@@ -100,10 +100,12 @@ class IndexParams:
                 p.ef_search = int(val)
             elif kk in ("nlist", "n_list"):
                 p.nlist = int(val)
-            elif kk in ("k",):
+            elif kk in ("k", "ksub", "k_sub"):
                 p.k = int(val)
             elif kk in ("pq_m", "pqm"):
                 p.pq_m = int(val)
+            else:
+                raise ValueError(f"unknown index param {key!r}")
         return p
 
 

@@ -116,23 +116,46 @@ def ground_truth(
     from pyrope_tpu.types import Metric
 
     m = Metric.parse(metric)
-    b = np.asarray(base, np.float64)
     q = np.asarray(queries, np.float64)
     if m == Metric.COSINE:
-        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
         q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-    scores = np.empty((q.shape[0], b.shape[0]), np.float64)
-    for s in range(0, b.shape[0], block):
-        blk = b[s : s + block]
+    qq = (q * q).sum(1)[:, None]
+    nq = q.shape[0]
+    # running top-k per block: peak memory O(Q*block), not O(Q*N) float64
+    best_s = np.full((nq, k), -np.inf)
+    best_i = np.full((nq, k), -1, np.int64)
+    n = np.asarray(base).shape[0]
+    for s in range(0, n, block):
+        blk = np.asarray(base[s : s + block], np.float64)
+        if m == Metric.COSINE:
+            blk = blk / np.maximum(np.linalg.norm(blk, axis=1, keepdims=True), 1e-12)
         dots = q @ blk.T
         if m == Metric.L2:
-            d2 = (q * q).sum(1)[:, None] - 2 * dots + (blk * blk).sum(1)[None, :]
-            scores[:, s : s + block] = -d2
+            sc = -(qq - 2 * dots + (blk * blk).sum(1)[None, :])
         else:
-            scores[:, s : s + block] = dots
-    idx = np.argpartition(-scores, kth=min(k, scores.shape[1] - 1), axis=1)[:, :k]
-    order = np.take_along_axis(scores, idx, axis=1).argsort(axis=1)[:, ::-1]
-    return np.take_along_axis(idx, order, axis=1)
+            sc = dots
+        cand_s = np.concatenate([best_s, sc], axis=1)
+        cand_i = np.concatenate(
+            [best_i, np.broadcast_to(np.arange(s, s + blk.shape[0]), sc.shape)], axis=1
+        )
+        sel = np.argpartition(-cand_s, kth=min(k, cand_s.shape[1] - 1), axis=1)[:, :k]
+        best_s = np.take_along_axis(cand_s, sel, axis=1)
+        best_i = np.take_along_axis(cand_i, sel, axis=1)
+    order = best_s.argsort(axis=1)[:, ::-1]
+    return np.take_along_axis(best_i, order, axis=1)
+
+
+def id_lists_to_rows(id_lists: "list[list[str]]", k: int | None = None) -> np.ndarray:
+    """resolve_rows output (numeric-string ids, '' = miss) -> int row matrix
+    padded with -1, ready for recall_at_k. Shared by bench.py and the
+    sweep script."""
+    width = k or max((len(r) for r in id_lists), default=0)
+    out = np.full((len(id_lists), width), -1, np.int64)
+    for bi, row in enumerate(id_lists):
+        for j, i in enumerate(row[:width]):
+            if i:
+                out[bi, j] = int(i)
+    return out
 
 
 def recall_at_k(result_ids: np.ndarray, truth_ids: np.ndarray, k: int) -> float:

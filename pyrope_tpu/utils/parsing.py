@@ -17,21 +17,32 @@ def parse_vector(payload: bytes, expected_dim: Optional[int] = None) -> np.ndarr
     """Decode one query/record vector from a wire payload."""
     # 1. JSON array
     stripped = payload.strip()
+
+    def _validated(v: np.ndarray) -> np.ndarray:
+        if expected_dim is not None and v.shape[0] != expected_dim:
+            raise ValueError(f"vector has dim {v.shape[0]}, expected {expected_dim}")
+        if not np.all(np.isfinite(v)):
+            raise ValueError("vector contains NaN/inf (e.g. JSON null)")
+        return v
+
     if stripped[:1] == b"[":
         try:
             arr = json.loads(stripped)
             v = np.asarray(arr, dtype=np.float32)
-            if v.ndim == 1:
-                return v
-        except (json.JSONDecodeError, ValueError):
-            pass
+        except (json.JSONDecodeError, ValueError, TypeError):
+            v = None
+        if v is not None and v.ndim == 1 and v.size:
+            return _validated(v)
     # 2. CSV text
     if _looks_texty(stripped):
         try:
             parts = stripped.decode("utf-8").replace(";", ",").split(",")
-            return np.asarray([float(p) for p in parts if p.strip()], dtype=np.float32)
-        except (UnicodeDecodeError, ValueError):
-            pass
+            v = np.asarray([float(p) for p in parts if p.strip()], dtype=np.float32)
+            if v.size:
+                return _validated(v)
+        except (UnicodeDecodeError, ValueError) as e:
+            if "expected" in str(e) or "NaN" in str(e):
+                raise
     # 3. Raw little-endian float32 binary
     if len(payload) % 4 == 0 and len(payload) > 0:
         v = np.frombuffer(payload, dtype="<f4").astype(np.float32)

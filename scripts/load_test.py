@@ -51,25 +51,30 @@ def start_app() -> tuple[PyropeApp, asyncio.AbstractEventLoop]:
     return app, loop
 
 
-def worker(port: int, queries: np.ndarray, stop_at: float, out: list) -> None:
+def worker(port: int, queries: np.ndarray, stop_at: float, out: list,
+           errors: list) -> None:
     lat = []
     n = 0
     rng = np.random.default_rng(threading.get_ident() % 2**32)
-    with RespClient("127.0.0.1", port, timeout=120) as c:
-        while time.time() < stop_at:
-            q = queries[rng.integers(0, len(queries))]
-            t0 = time.perf_counter()
-            c.vec_search("lt", "idx", encode_vector(q), 10)
-            lat.append((time.perf_counter() - t0) * 1000)
-            n += 1
+    try:
+        with RespClient("127.0.0.1", port, timeout=120) as c:
+            while time.time() < stop_at:
+                q = queries[rng.integers(0, len(queries))]
+                t0 = time.perf_counter()
+                c.vec_search("lt", "idx", encode_vector(q), 10)
+                lat.append((time.perf_counter() - t0) * 1000)
+                n += 1
+    except Exception as e:  # noqa: BLE001 — a dead worker must fail the cell
+        errors.append(repr(e))
     out.append((n, lat))
 
 
 def run_cell(app, port, queries, concurrency: int, duration: float) -> dict:
     stop_at = time.time() + duration
     results: list = []
+    errors: list = []
     threads = [
-        threading.Thread(target=worker, args=(port, queries, stop_at, results))
+        threading.Thread(target=worker, args=(port, queries, stop_at, results, errors))
         for _ in range(concurrency)
     ]
     t0 = time.time()
@@ -87,6 +92,8 @@ def run_cell(app, port, queries, concurrency: int, duration: float) -> dict:
         "p50_ms": round(s.p50_ms, 2),
         "p99_ms": round(s.p99_ms, 2),
         "requests": total,
+        "errors": len(errors),
+        "error_sample": errors[:3],
     }
 
 
@@ -124,7 +131,11 @@ def main() -> None:
             cell = run_cell(app, port, queries, conc, args.duration)
             cell["cache"] = "on" if cache_on else "off"
             cell["slo_p99_ms"] = slo_p99
-            cell["slo_met"] = cell["p99_ms"] <= slo_p99
+            # zero successful requests (or any worker error) can never meet an SLO
+            cell["slo_met"] = (
+                cell["requests"] > 0 and cell["errors"] == 0
+                and cell["p99_ms"] <= slo_p99
+            )
             rows.append(cell)
             print(json.dumps(cell), file=sys.stderr)
 

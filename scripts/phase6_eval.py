@@ -78,6 +78,8 @@ def scenario_semantic_cache(n=5000, dim=32) -> dict:
     base = rng.random((n, dim), dtype=np.float32)
     eng.create_index("p6", "cache", IndexConfig(dim=dim, algorithm="FLAT"))
     eng.add_batch("p6", "cache", [f"v{i}" for i in range(n)], base)
+    # warm the compile with a DIFFERENT query so q's cache line stays cold
+    eng.search("p6", "cache", base[7] + 2e-4, 10)
     q = base[99] + 1e-4
     t0 = time.perf_counter()
     eng.search("p6", "cache", q, 10, trace=True)

@@ -35,8 +35,9 @@ def measure(idx, queries, topk, base, truth, options=None):
     np.asarray(outs[-1][0])
     qps = iters * len(queries) / (time.perf_counter() - t0)
     rows = idx.resolve_rows(np.asarray(r))
-    ids = np.array([[int(i) if i else -1 for i in row] for row in rows])
-    return round(qps, 1), round(recall_at_k(ids, truth, topk), 4)
+    from pyrope_tpu.utils.datasets import id_lists_to_rows
+
+    return round(qps, 1), round(recall_at_k(id_lists_to_rows(rows), truth, topk), 4)
 
 
 def main() -> None:

@@ -253,3 +253,38 @@ class TestPolicyEngines:
         assert eng.store.current.default_ttl_seconds == 300
         # enable flag is preserved across sidecar updates
         assert eng.store.current.enable_cache is False
+
+
+class TestDatasets:
+    """Dataset readers (ref: Datasets/FvecsReader.cs, GloveTxtReader.cs)."""
+
+    def test_fvecs_roundtrip_and_limit(self, tmp_path):
+        from pyrope_tpu.utils.datasets import read_fvecs, write_fvecs
+
+        v = np.arange(24, dtype=np.float32).reshape(6, 4)
+        p = tmp_path / "x.fvecs"
+        write_fvecs(p, v)
+        assert np.allclose(read_fvecs(p), v)
+        assert read_fvecs(p, limit=2).shape == (2, 4)
+
+    def test_glove_txt(self, tmp_path):
+        from pyrope_tpu.utils.datasets import read_glove_txt
+
+        p = tmp_path / "g.txt"
+        p.write_text("hello 0.1 0.2 0.3\nworld 0.4 0.5 0.6\nbad line notafloat x\n")
+        toks, vecs = read_glove_txt(p)
+        assert toks[:2] == ["hello", "world"]
+        assert vecs.shape[1] == 3
+        assert np.allclose(vecs[0], [0.1, 0.2, 0.3])
+
+    def test_clustered_queries_share_centers(self):
+        from pyrope_tpu.utils.datasets import (
+            synthetic_clustered,
+            synthetic_clustered_queries,
+        )
+
+        base = synthetic_clustered(500, 16, n_clusters=5, spread=0.01)
+        qs = synthetic_clustered_queries(50, 16, n_clusters=5, spread=0.01)
+        # every query is near SOME base point (same centers)
+        d = ((qs[:, None, :] - base[None, :, :]) ** 2).sum(-1).min(1)
+        assert float(d.max()) < 0.5
