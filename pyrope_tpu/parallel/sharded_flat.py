@@ -23,15 +23,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pyrope_tpu.index.flat import FlatIndex, _STORAGE_DTYPES
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.topk import masked_topk
-from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
 from pyrope_tpu.types import Metric
 from pyrope_tpu.utils.shapes import round_up
 
 
 def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None):
-    """Jitted sharded scan: rows split over DATA_AXIS, per-shard top-k,
-    all-gather merge; returns replicated (vals [B,k], global_rows [B,k])."""
+    """Jitted sharded scan. On a 1-D ``data`` mesh: rows split over
+    DATA_AXIS, queries replicated, per-shard top-k, all-gather merge,
+    replicated output. On a 2-D ``batch × data`` mesh the query batch is
+    ALSO sharded over BATCH_AXIS (each batch group scans the whole corpus
+    across its data row; output sharded over batch) — the layout for
+    serving fleets where one replica group handles a slice of traffic."""
     cdtype = None if compute is None else jnp.dtype(compute)
+    two_d = BATCH_AXIS in mesh.axis_names
 
     def local(vecs, sqnorm, alive, q, ms):
         rows_local = vecs.shape[0]
@@ -50,11 +55,17 @@ def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None)
         mids = jnp.where(jnp.isfinite(mvals), mids, -1)
         return mvals, mids
 
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_spec = (
+        (P(BATCH_AXIS, None), P(BATCH_AXIS, None))
+        if two_d
+        else (P(None, None), P(None, None))
+    )
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(None, None), P()),
-        out_specs=(P(None, None), P(None, None)),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), q_spec, P()),
+        out_specs=out_spec,
         check_vma=False,
     )
     return jax.jit(fn)
@@ -94,10 +105,11 @@ def sharded_kmeans_step(x, valid, cents, *, metric: Metric, mesh: Mesh):
 
 
 class ShardedFlatIndex(FlatIndex):
-    """FlatIndex whose device slab is row-sharded over a 1-D mesh.
-
-    Same host API/semantics as FlatIndex; the slab capacity is padded to a
-    multiple of the mesh size so shards stay equal.
+    """FlatIndex whose device slab is row-sharded over the mesh's ``data``
+    axis. Works on a 1-D ``data`` mesh (queries replicated) or a 2-D
+    ``batch × data`` mesh (queries sharded over ``batch`` too — see
+    make_sharded_search). Same host API/semantics as FlatIndex; the slab
+    capacity is padded to a multiple of the mesh size so shards stay equal.
     """
 
     def __init__(

@@ -227,3 +227,27 @@ class TestShardedSnapshotRoundtrips:
         assert sh.mesh is mesh
         hits = sh.search(base[11], 3, pt.SearchOptions(nprobe=4))
         assert hits[0].id == "11"
+
+
+class TestBatchDataMesh:
+    def test_2d_mesh_matches_1d(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedFlatIndex, make_mesh
+        from pyrope_tpu.parallel.mesh import make_mesh_2d
+
+        rng = np.random.default_rng(0)
+        n, dim = 2048, 16
+        base = rng.random((n, dim), dtype=np.float32)
+        ids = [str(i) for i in range(n)]
+        q = rng.random((16, dim), dtype=np.float32)
+
+        one_d = ShardedFlatIndex(dim, "L2", mesh=make_mesh(8))
+        one_d.add_batch(ids, base)
+        two_d = ShardedFlatIndex(dim, "L2", mesh=make_mesh_2d(2, 4))
+        two_d.add_batch(ids, base)
+
+        r1 = one_d.search_batch(q, 10)
+        r2 = two_d.search_batch(q, 10)
+        for a, b in zip(r1, r2):
+            assert [h.id for h in a] == [h.id for h in b]
