@@ -39,6 +39,7 @@ BASELINES = {
     "sq8_100k": 461.4,
     "hnsw10k": None,       # reference publishes no HNSW QPS for this shape
     "ivfpq100k": None,
+    "ivfpq100k_m16": None,
     "delta20k": None,
     # the reference's 1M-vector run STALLED at 93% load and published no
     # number (docs/benchmarks/20260118_benchmark_500k_ivf.md:43-55); these
@@ -62,6 +63,8 @@ CONFIGS = {
     "ivf100k": ("IVF_FLAT", 100_000, 128, {"nlist": 100}),
     "ivf500k": ("IVF_FLAT", 500_000, 128, {"nlist": 100}),
     "ivfpq100k": ("IVF_PQ", 100_000, 128, {"nlist": 100, "pq_m": 4, "ksub": 256}),
+    # quality configuration: 8x compression instead of 32x
+    "ivfpq100k_m16": ("IVF_PQ", 100_000, 128, {"nlist": 100, "pq_m": 16, "ksub": 256}),
     "hnsw10k": ("HNSW", 10_000, 128, {"m": 16, "ef_construction": 200, "ef_search": 50}),
     "delta20k": ("DELTA", 20_000, 128, {}),
     "flat1m": ("FLAT", 1_000_000, 128, {}),

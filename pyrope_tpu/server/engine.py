@@ -602,7 +602,7 @@ class PyropeEngine:
         return full
 
     def snapshot_index(self, tenant: str, index: str, path: str) -> Optional[int]:
-        """Persist; returns snapshot bytes (billed,
+        """Persist index + record-of-truth; returns snapshot bytes (billed,
         ref: IndexController.cs:125-176). None if index missing."""
         import os
 
@@ -611,8 +611,29 @@ class PyropeEngine:
             return None
         full = self._safe_snapshot_path(tenant, path)
         state.index.snapshot(full)
+        # persist the record-of-truth (meta/tags) alongside the index so a
+        # restored search survives the metadata join
+        records = self.store.export_records(tenant, index)
+        import json as _json
+
+        import numpy as np_
+
+        np_.savez_compressed(
+            full + ".store",
+            ids=np_.array([r.id for r in records], dtype=np_.str_),
+            vecs=(
+                np_.stack([r.vector for r in records])
+                if records else np_.zeros((0, state.config.dim), np_.float32)
+            ),
+            meta=np_.str_(_json.dumps([
+                {"meta": r.meta, "tags": list(r.tags),
+                 "numeric_fields": r.numeric_fields}
+                for r in records
+            ])),
+        )
         nbytes = 0
-        for p in (full, full + ".head", full + ".tail"):
+        for p in (full, full + ".npz", full + ".head", full + ".tail",
+                  full + ".store.npz"):
             if os.path.exists(p):
                 nbytes += os.path.getsize(p)
         self.billing.record_snapshot(tenant, nbytes)
@@ -620,10 +641,32 @@ class PyropeEngine:
 
     def load_index(self, tenant: str, index: str, path: str) -> bool:
         """Restore + epoch bump (ref: IndexController.cs:178-228)."""
+        import os
+
         state = self.registry.try_get(tenant, index)
         if state is None:
             return False
-        state.index.load(self._safe_snapshot_path(tenant, path))
+        full = self._safe_snapshot_path(tenant, path)
+        state.index.load(full)
+        store_path = full + ".store.npz"
+        if os.path.exists(store_path):
+            import json as _json
+
+            import numpy as np_
+
+            with np_.load(store_path, allow_pickle=False) as z:
+                ids = [str(s) for s in z["ids"]]
+                vecs = np_.asarray(z["vecs"], np_.float32)
+                extras = _json.loads(str(z["meta"]))
+            records = [
+                VectorRecord(
+                    id=i, vector=v, meta=e["meta"],
+                    tags=tuple(e["tags"] or ()),
+                    numeric_fields=e["numeric_fields"],
+                )
+                for i, v, e in zip(ids, vecs, extras)
+            ]
+            self.store.import_records(tenant, index, records)
         self.registry.increment_epoch(tenant, index)
         return True
 

@@ -90,6 +90,28 @@ class VectorStore:
                 del self._records[k]
             return len(keys)
 
+    def export_records(self, tenant: str, index: str) -> list[VectorRecord]:
+        """Live records of one index (snapshot persistence; the reference's
+        record-of-truth lives in Garnet's persisted KV — ours must ride the
+        index snapshot)."""
+        prefix = f"{tenant}:{index}:"
+        with self._lock:
+            return [
+                dataclasses.replace(r)
+                for k, r in self._records.items()
+                if k.startswith(prefix) and not r.deleted
+            ]
+
+    def import_records(self, tenant: str, index: str, records: list[VectorRecord]) -> int:
+        """Replace an index's records wholesale (snapshot restore)."""
+        prefix = f"{tenant}:{index}:"
+        with self._lock:
+            for k in [k for k in self._records if k.startswith(prefix)]:
+                del self._records[k]
+            for r in records:
+                self._records[prefix + r.id] = r
+            return len(records)
+
     def count(self, tenant: str, index: str) -> int:
         prefix = f"{tenant}:{index}:"
         with self._lock:

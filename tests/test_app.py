@@ -108,3 +108,39 @@ def test_prefetcher_uses_grpc_client(stack):
     app.engine.prefetcher._rules_refreshed_at = 0.0
     app.engine.prefetcher.tick()
     assert app.engine.prefetcher.get_prediction("pf", "idx", 1) == 2
+
+
+def test_restart_persistence_roundtrip(tmp_path):
+    """Checkpoint/resume story (SURVEY §5.4): index CONFIGS restore on
+    engine construction (IndexMetadataManager) and DATA restores via
+    snapshot/load — a full restart round trip."""
+    import numpy as np
+
+    from pyrope_tpu.security import AuthSettings
+    from pyrope_tpu.server.engine import EngineConfig, PyropeEngine
+    from pyrope_tpu.types import IndexConfig, IndexParams
+
+    cfg = EngineConfig(
+        auth=AuthSettings(enabled=False),
+        snapshot_dir=str(tmp_path / "snaps"),
+        index_meta_path=str(tmp_path / "meta.json"),
+    )
+    eng1 = PyropeEngine(cfg)
+    eng1.create_index("t1", "idx", IndexConfig(dim=8, algorithm="IVF_FLAT",
+                                               params=IndexParams(nlist=4)))
+    rng = np.random.default_rng(0)
+    vecs = rng.random((200, 8), dtype=np.float32)
+    eng1.add_batch("t1", "idx", [f"v{i}" for i in range(200)], vecs)
+    eng1.build_index("t1", "idx")
+    assert eng1.snapshot_index("t1", "idx", "backup") > 0
+
+    # "restart": a fresh engine against the same metadata + snapshot dir
+    eng2 = PyropeEngine(cfg)
+    state = eng2.registry.try_get("t1", "idx")  # config restored
+    assert state is not None and state.config.algorithm == "IVF_FLAT"
+    assert state.config.params.nlist == 4
+    assert eng2.stats("t1", "idx")["count"] == 0  # data needs the snapshot
+    assert eng2.load_index("t1", "idx", "backup")
+    assert eng2.stats("t1", "idx")["count"] == 200
+    r = eng2.search("t1", "idx", vecs[42], 3)
+    assert r.ok and r.hits[0].id == "v42"
