@@ -26,11 +26,16 @@ class _Alias:
 
 
 class CanonicalKeyMap:
+    """Entries are namespaced by tenant: a tenant-scoped role registering an
+    alias can only redirect lookups made on behalf of that same tenant, never
+    another tenant's L0.5 cache path (ADVICE r1). ``tenant=""`` is the global
+    namespace used by single-tenant/offline producers."""
+
     def __init__(self, clock: Clock = SYSTEM_CLOCK, min_confidence: float = 0.5):
         self._clock = clock
         self._min_confidence = min_confidence
         self._lock = threading.Lock()
-        self._aliases: dict[str, _Alias] = {}
+        self._aliases: dict[tuple[str, str], _Alias] = {}
 
     def set_alias(
         self,
@@ -38,20 +43,21 @@ class CanonicalKeyMap:
         canonical_hash: str,
         confidence: float = 1.0,
         ttl_seconds: float = 3600.0,
+        tenant: str = "",
     ) -> None:
         with self._lock:
-            self._aliases[alias_hash] = _Alias(
+            self._aliases[(tenant, alias_hash)] = _Alias(
                 canonical_hash, float(confidence), self._clock.now() + ttl_seconds
             )
 
-    def try_get_canonical(self, alias_hash: str) -> Optional[str]:
+    def try_get_canonical(self, alias_hash: str, tenant: str = "") -> Optional[str]:
         now = self._clock.now()
         with self._lock:
-            a = self._aliases.get(alias_hash)
+            a = self._aliases.get((tenant, alias_hash))
             if a is None:
                 return None
             if a.expires_at <= now:
-                del self._aliases[alias_hash]
+                del self._aliases[(tenant, alias_hash)]
                 return None
             if a.confidence < self._min_confidence:
                 return None

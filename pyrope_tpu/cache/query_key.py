@@ -22,11 +22,13 @@ _K_BUCKETS = (5, 10, 20, 50, 100)
 
 def round_k(top_k: int) -> int:
     """Bucket topK so near-identical queries share a cache line
-    (ref: Model/QueryKey.cs:52-60)."""
+    (ref: Model/QueryKey.cs:52-60). Values above the last bucket are
+    returned unchanged — the reference does the same, and clamping them
+    would let a top_k=300 query hit a line cached with fewer results."""
     for b in _K_BUCKETS:
         if top_k <= b:
             return b
-    return _K_BUCKETS[-1]
+    return top_k
 
 
 @dataclasses.dataclass(frozen=True)

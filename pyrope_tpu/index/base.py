@@ -10,6 +10,7 @@ query surface that is the TPU engine's first-class entry point, and
 from __future__ import annotations
 
 import abc
+import threading
 from typing import Iterator, Optional, Sequence
 
 import numpy as np
@@ -28,6 +29,22 @@ class VectorIndex(abc.ABC):
 
     dim: int
     metric: Metric
+
+    _lock_init = threading.Lock()
+
+    @property
+    def lock(self) -> threading.RLock:
+        """Per-index reentrant lock guarding host state (mutation + device
+        sync). Analog of the reference's per-index ``ReaderWriterLockSlim``
+        (ref: BruteForceVectorIndex.cs:23) — the server runs writes and
+        searches on concurrent threads (asyncio.to_thread, MicroBatcher).
+        Device execution itself happens on immutable jax arrays and never
+        holds this lock. Created lazily so subclasses need no super().__init__."""
+        lk = self.__dict__.get("_lock")
+        if lk is None:
+            with VectorIndex._lock_init:
+                lk = self.__dict__.setdefault("_lock", threading.RLock())
+        return lk
 
     # ---- mutation -------------------------------------------------------
 

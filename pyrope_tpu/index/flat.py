@@ -206,79 +206,89 @@ class FlatIndex(VectorIndex):
 
     def add(self, id: str, vector: np.ndarray) -> bool:
         v = self._check_vec(vector)
-        row = self._id_to_row.get(id)
-        if row is not None and self._alive[row]:
-            return False
-        if row is not None:  # revive tombstoned id in place
-            self._vecs[row] = v
-            self._alive[row] = True
-            self._live += 1
-        else:
-            self._ensure_capacity(self._count + 1)
-            row = self._count
-            self._vecs[row] = v
-            self._alive[row] = True
-            self._row_ids[row] = id
-            self._id_to_row[id] = row
-            self._count += 1
-            self._live += 1
-        self._mark_dirty(row)
-        return True
+        with self.lock:
+            row = self._id_to_row.get(id)
+            if row is not None and self._alive[row]:
+                return False
+            if row is not None:  # revive tombstoned id in place
+                self._vecs[row] = v
+                self._alive[row] = True
+                self._live += 1
+            else:
+                self._ensure_capacity(self._count + 1)
+                row = self._count
+                self._vecs[row] = v
+                self._alive[row] = True
+                self._row_ids[row] = id
+                self._id_to_row[id] = row
+                self._count += 1
+                self._live += 1
+            self._mark_dirty(row)
+            return True
 
     def upsert(self, id: str, vector: np.ndarray) -> None:
         v = self._check_vec(vector)
-        row = self._id_to_row.get(id)
-        if row is None:
-            self.add(id, v)
-            return
-        if not self._alive[row]:
-            self._live += 1
-        self._vecs[row] = v
-        self._alive[row] = True
-        self._mark_dirty(row)
+        with self.lock:
+            row = self._id_to_row.get(id)
+            if row is None:
+                self.add(id, v)
+                return
+            if not self._alive[row]:
+                self._live += 1
+            self._vecs[row] = v
+            self._alive[row] = True
+            self._mark_dirty(row)
 
     def delete(self, id: str) -> bool:
-        row = self._id_to_row.get(id)
-        if row is None or not self._alive[row]:
-            return False
-        self._alive[row] = False
-        self._vecs[row] = 0.0  # GC null-out (ref: BruteForceVectorIndex.cs:224-248)
-        self._live -= 1
-        self._mark_dirty(row)
-        return True
+        with self.lock:
+            row = self._id_to_row.get(id)
+            if row is None or not self._alive[row]:
+                return False
+            self._alive[row] = False
+            self._vecs[row] = 0.0  # GC null-out (ref: BruteForceVectorIndex.cs:224-248)
+            self._live -= 1
+            self._mark_dirty(row)
+            return True
 
     def add_batch(self, ids, vectors) -> int:
         vecs = np.asarray(vectors, dtype=np.float32)
         if vecs.ndim != 2 or vecs.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}] batch")
-        # Fast path: all-new ids appended contiguously.
-        new_mask = [i not in self._id_to_row for i in ids]
-        if all(new_mask) and len(set(ids)) == len(ids):
-            n = len(ids)
-            self._ensure_capacity(self._count + n)
-            s = self._count
-            self._vecs[s : s + n] = vecs
-            self._alive[s : s + n] = True
-            for off, i in enumerate(ids):
-                self._row_ids[s + off] = i
-                self._id_to_row[i] = s + off
-            self._count += n
-            self._live += n
-            self._mark_all_dirty()
-            return n
-        return super().add_batch(ids, vecs)
+        with self.lock:
+            # Fast path: all-new ids appended contiguously.
+            new_mask = [i not in self._id_to_row for i in ids]
+            if all(new_mask) and len(set(ids)) == len(ids):
+                n = len(ids)
+                self._ensure_capacity(self._count + n)
+                s = self._count
+                self._vecs[s : s + n] = vecs
+                self._alive[s : s + n] = True
+                for off, i in enumerate(ids):
+                    self._row_ids[s + off] = i
+                    self._id_to_row[i] = s + off
+                self._count += n
+                self._live += n
+                self._mark_all_dirty()
+                return n
+            return super().add_batch(ids, vecs)
 
     # ---- device sync ----------------------------------------------------
 
     def _sync(self) -> dict:
         if self._dev is not None and not self._dirty:
             return self._dev
+        with self.lock:
+            return self._sync_locked()
+
+    def _sync_locked(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev  # another thread synced while we waited
         # incremental path: a few mutated rows scatter into the existing
         # device slab (device-side copy, tiny H2D) instead of re-uploading
         # the whole capacity-padded slab per mutation
         if self._dev is not None and self._dirty_rows:
             return self._sync_incremental()
-        vf = self._vecs
+        vf = self._vecs  # lock held: no concurrent mutation during upload
         sqnorm = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
         alive = self._alive
         if self.storage == "sq8":
@@ -304,7 +314,13 @@ class FlatIndex(VectorIndex):
         return self._dev
 
     def _sync_incremental(self) -> dict:
-        rows = np.fromiter(self._dirty_rows, np.int64, len(self._dirty_rows))
+        # Swap the dirty set out atomically BEFORE scattering so a concurrent
+        # _mark_dirty (caller may not hold the lock on every path) lands in a
+        # fresh set rather than being cleared away (ADVICE r1, high).
+        dirty = self._dirty_rows
+        self._dirty_rows = set()
+        self._dirty = False
+        rows = np.fromiter(dirty, np.int64, len(dirty))
         vf = self._vecs[rows]
         idx = jnp.asarray(rows, jnp.int32)
         alive = jnp.asarray(self._alive[rows])
@@ -329,8 +345,6 @@ class FlatIndex(VectorIndex):
                 dev["vecs"], dev["sqnorm"], dev["alive"],
                 idx, jnp.asarray(vf, dtype=dt), jnp.asarray(sq), alive,
             )
-        self._dirty = False
-        self._dirty_rows = set()
         return dev
 
     # ---- query ----------------------------------------------------------

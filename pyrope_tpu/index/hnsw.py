@@ -312,6 +312,10 @@ class HnswIndex(VectorIndex):
     # ---- mutation --------------------------------------------------------
 
     def add(self, id: str, vector: np.ndarray) -> bool:
+        with self.lock:
+            return self._add_locked(id, vector)
+
+    def _add_locked(self, id: str, vector: np.ndarray) -> bool:
         row = self._id_to_row.get(id)
         if row is not None and self._alive[row]:
             return False
@@ -369,6 +373,10 @@ class HnswIndex(VectorIndex):
         (native/hnsw_builder.cc) — same algorithm and level distribution as
         the incremental path, ~100x faster than per-row Python inserts.
         Falls back to per-row adds otherwise (or without a toolchain)."""
+        with self.lock:
+            return self._add_batch_locked(ids, vectors)
+
+    def _add_batch_locked(self, ids, vectors) -> int:
         vecs = np.asarray(vectors, np.float32)
         if (
             self._count > 0
@@ -415,28 +423,36 @@ class HnswIndex(VectorIndex):
         return n
 
     def upsert(self, id: str, vector: np.ndarray) -> None:
-        row = self._id_to_row.get(id)
-        if row is None:
-            self.add(id, vector)
-            return
-        if not self._alive[row]:
-            self._live += 1
-        self._vecs[row] = self._prep(vector)  # in-place update, links kept
-        self._alive[row] = True
-        self._dirty = True
+        with self.lock:
+            row = self._id_to_row.get(id)
+            if row is None:
+                self._add_locked(id, vector)
+                return
+            if not self._alive[row]:
+                self._live += 1
+            self._vecs[row] = self._prep(vector)  # in-place update, links kept
+            self._alive[row] = True
+            self._dirty = True
 
     def delete(self, id: str) -> bool:
-        row = self._id_to_row.get(id)
-        if row is None or not self._alive[row]:
-            return False
-        self._alive[row] = False  # tombstone only (ref :187-204)
-        self._live -= 1
-        self._dirty = True
-        return True
+        with self.lock:
+            row = self._id_to_row.get(id)
+            if row is None or not self._alive[row]:
+                return False
+            self._alive[row] = False  # tombstone only (ref :187-204)
+            self._live -= 1
+            self._dirty = True
+            return True
 
     # ---- device sync + query ---------------------------------------------
 
     def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        with self.lock:
+            return self._sync_locked()
+
+    def _sync_locked(self) -> dict:
         if self._dev is not None and not self._dirty:
             return self._dev
         n = max(self._count, 1)

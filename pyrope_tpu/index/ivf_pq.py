@@ -152,29 +152,32 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
     # ---- mutation (same buffer-first discipline as IVF-Flat) -------------
 
     def add(self, id: str, vector: np.ndarray) -> bool:
-        row = self._main_pos.get(id)
-        if row is not None and self._alive[row]:
-            return False
-        return self._buffer.add(id, vector)
+        with self.lock:
+            row = self._main_pos.get(id)
+            if row is not None and self._alive[row]:
+                return False
+            return self._buffer.add(id, vector)
 
     def upsert(self, id: str, vector: np.ndarray) -> None:
-        row = self._main_pos.get(id)
-        if row is not None and self._alive[row]:
+        with self.lock:
+            row = self._main_pos.get(id)
+            if row is not None and self._alive[row]:
+                self._alive[row] = False
+                self._main_live -= 1
+                self._dirty = True
+            self._buffer.upsert(id, vector)
+
+    def delete(self, id: str) -> bool:
+        with self.lock:
+            if self._buffer.delete(id):
+                return True
+            row = self._main_pos.get(id)
+            if row is None or not self._alive[row]:
+                return False
             self._alive[row] = False
             self._main_live -= 1
             self._dirty = True
-        self._buffer.upsert(id, vector)
-
-    def delete(self, id: str) -> bool:
-        if self._buffer.delete(id):
             return True
-        row = self._main_pos.get(id)
-        if row is None or not self._alive[row]:
-            return False
-        self._alive[row] = False
-        self._main_live -= 1
-        self._dirty = True
-        return True
 
     def add_batch(self, ids, vectors) -> int:
         if not self._built and not self._main_pos:
@@ -190,6 +193,10 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         return (x / np.maximum(n, 1e-12)).astype(np.float32)
 
     def build(self) -> None:
+        with self.lock:
+            self._build_locked()
+
+    def _build_locked(self) -> None:
         ids: list[str] = []
         rows: list[np.ndarray] = []
         main_live = [r for r in range(len(self._perm_ids)) if self._alive[r]]
@@ -234,6 +241,12 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
     # ---- query ----------------------------------------------------------
 
     def _sync(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        with self.lock:
+            return self._sync_locked()
+
+    def _sync_locked(self) -> dict:
         if self._dev is not None and not self._dirty:
             return self._dev
         kc = self._lens.shape[0]

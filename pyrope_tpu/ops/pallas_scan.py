@@ -170,4 +170,8 @@ def pallas_flat_topk(
     from pyrope_tpu.ops.scalars import device_i32x1
 
     vals, idx = fn(device_i32x1(max_scans), q, x, sqnorm, alive)
+    # kernels cannot capture jnp -inf, so missing hits carry the finite
+    # sentinel internally; restore the masked_topk convention (-inf score,
+    # idx -1) so isfinite-based missing-hit detection works downstream
+    vals = jnp.where(idx < 0, -jnp.inf, vals)
     return vals, idx

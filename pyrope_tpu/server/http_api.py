@@ -445,6 +445,7 @@ class HttpApi:
             alias, canonical,
             confidence=float(body.get("confidence", 1.0)),
             ttl_seconds=float(body.get("ttl_seconds", 3600.0)),
+            tenant=str(body.get("tenant") or ""),
         )
         return web.json_response({"status": "registered"})
 

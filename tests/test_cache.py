@@ -40,7 +40,11 @@ class TestQueryKey:
         assert round_k(11) == 20
         assert round_k(21) == 50
         assert round_k(51) == 100
-        assert round_k(1000) == 100
+        # above the last bucket k passes through unchanged (ref
+        # Model/QueryKey.cs:52-60) so distinct large-k queries never share
+        # a cache line filled with fewer hits than requested
+        assert round_k(101) == 101
+        assert round_k(1000) == 1000
 
     def test_exact_equality_on_vector(self):
         a, b = qk([1, 2, 3]), qk([1, 2, 3])

@@ -221,3 +221,55 @@ class TestApproxSelection:
         idx.load(p)
         assert idx.selection == "approx:0.9"
         assert idx.search(np.ones(8, np.float32), 1)[0].id == "a"
+
+
+class TestConcurrentMutation:
+    """Regression for ADVICE r1 (high): concurrent add() during a device
+    sync must never be dropped from the dirty set — the vector would stay
+    permanently invisible to device searches."""
+
+    def test_concurrent_add_and_search_loses_nothing(self):
+        import threading
+
+        import numpy as np
+
+        from pyrope_tpu.index.flat import FlatIndex
+
+        rng = np.random.default_rng(0)
+        idx = FlatIndex(16, "L2")
+        # seed + first sync so the incremental scatter path is active
+        idx.add_batch([f"s{i}" for i in range(64)], rng.normal(size=(64, 16)).astype(np.float32))
+        idx.search(np.zeros(16, np.float32), 1)
+
+        n_writers, per_writer = 4, 100
+        errs = []
+
+        def writer(w):
+            try:
+                for i in range(per_writer):
+                    idx.add(f"w{w}_{i}", rng.normal(size=16).astype(np.float32) + w)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def searcher():
+            try:
+                for _ in range(50):
+                    idx.search(np.zeros(16, np.float32), 5)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+        threads += [threading.Thread(target=searcher) for _ in range(2)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, errs
+
+        # every written vector must now be visible to a device search
+        assert idx.get_stats().count == 64 + n_writers * per_writer
+        for w in range(n_writers):
+            for i in range(0, per_writer, 17):
+                q = idx._vecs[idx._id_to_row[f"w{w}_{i}"]]
+                hits = idx.search(q, 1)
+                assert hits and hits[0].id == f"w{w}_{i}"

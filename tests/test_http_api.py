@@ -325,7 +325,11 @@ class TestCacheAlias:
                 headers=ADMIN,
             )
             assert r.status == 200
-            assert engine.canonical.try_get_canonical("aaa") == "bbb"
+            # namespaced by the body tenant; other tenants (and the global
+            # namespace) do not see it (ADVICE r1: alias poisoning)
+            assert engine.canonical.try_get_canonical("aaa", tenant="t1") == "bbb"
+            assert engine.canonical.try_get_canonical("aaa") is None
+            assert engine.canonical.try_get_canonical("aaa", tenant="t2") is None
             r = await client.post("/v1/cache/aliases", json={}, headers=ADMIN)
             assert r.status == 400
 
