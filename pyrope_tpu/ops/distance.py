@@ -83,6 +83,53 @@ def score_matrix(
     raise ValueError(f"unknown metric {metric}")
 
 
+def rerank_exact(
+    x: jax.Array,
+    sqnorm: jax.Array,
+    q: jax.Array,
+    cand_rows: jax.Array,
+    k: int,
+    metric: Metric,
+) -> tuple[jax.Array, jax.Array]:
+    """Gather shortlisted rows and re-score them exactly; final top-k.
+
+    The refinement stage the reference's IVF-PQ lacks (its ADC scores are
+    final, ref: IvfPqVectorIndex.cs:152-199 — the source of its recall
+    ceiling). On TPU this is one [B, R, D] gather + one einsum — cheap next
+    to the ADC scan, and it converts quantization error into ranking noise
+    only within the shortlist.
+
+    x: [N_pad, D] raw rows (fp32 or bf16 storage), sqnorm: [N_pad] fp32
+    ‖x‖² of the ORIGINAL fp32 rows, q: [B, D] fp32 (pre-normalized for
+    cosine), cand_rows: [B, R] int32 slab rows, -1 = missing.
+    Returns ([B, k] scores, [B, k] rows), -inf/-1 for missing.
+    """
+    metric = Metric.parse(metric)
+    safe = jnp.maximum(cand_rows, 0)
+    vecs = jnp.take(x, safe, axis=0).astype(jnp.float32)     # [B, R, D]
+    qf = q.astype(jnp.float32)
+    dots = jnp.einsum("brd,bd->br", vecs, qf, preferred_element_type=jnp.float32)
+    if metric == Metric.L2:
+        qq = jnp.sum(qf * qf, axis=-1)
+        sq = jnp.take(sqnorm, safe, axis=0)                  # [B, R]
+        scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        scores = dots
+    else:  # COSINE
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+        xn = jnp.sqrt(jnp.maximum(jnp.take(sqnorm, safe, axis=0), 1e-24))
+        scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
+    scores = jnp.where(cand_rows >= 0, scores, -jnp.inf)
+    vals, sel = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+    rows = jnp.take_along_axis(cand_rows, sel, axis=-1)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    if vals.shape[-1] < k:
+        pad = k - vals.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+    return vals, rows
+
+
 def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """L2-normalize rows (cosine pre-normalization,
     ref: HnswVectorIndex.cs:69-85 normalizes at insert)."""
