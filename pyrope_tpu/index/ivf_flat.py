@@ -35,7 +35,7 @@ import numpy as np
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
 from pyrope_tpu.index.flat import FlatIndex
 from pyrope_tpu.ops.distance import score_matrix
-from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
+from pyrope_tpu.ops.kmeans import kmeans_build
 from pyrope_tpu.ops.topk import merge_topk
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -143,13 +143,20 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         nprobe: int = DEFAULT_NPROBE,
         compute_dtype: Optional[str] = None,
         seed: int = 42,    # ref: IvfFlatVectorIndex k-means seed 42
+        train_dtype: Optional[str] = None,
     ):
+        """``compute_dtype`` governs SEARCH scans (None = exact fp32
+        HIGHEST, the CLAUDE.md invariant). ``train_dtype`` governs k-means
+        TRAINING matmuls only — bf16 is ~6x MXU throughput and perturbs only
+        which list a boundary row lands in, not search exactness; None
+        restores bit-stable fp32 training."""
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.nlist = int(nlist)
         self.nprobe = int(nprobe)
         self.compute_dtype = compute_dtype
         self.seed = seed
+        self.train_dtype = train_dtype
 
         self._buffer = FlatIndex(dim, self.metric, compute_dtype=compute_dtype)
         # built main slab (host truth)
@@ -225,10 +232,12 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         n = x.shape[0]
         k = min(self.nlist, n)
 
-        cents = kmeans_train(
-            x, k, self.metric, seed=self.seed, compute_dtype=self.compute_dtype
+        # single corpus upload: train + assign reuse one device buffer, and
+        # the search slab below is a device-side take of the same buffer
+        # (the tunnel upload dominates build time — see ops/kmeans.py)
+        cents, assign, x_dev = kmeans_build(
+            x, k, self.metric, seed=self.seed, compute_dtype=self.train_dtype
         )
-        assign = kmeans_assign(x, cents, self.metric, compute_dtype=self.compute_dtype)
 
         order = np.argsort(assign, kind="stable")
         self._xperm = np.ascontiguousarray(x[order])
@@ -241,8 +250,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         self._main_live = n
         self._built = True
         self._buffer = FlatIndex(self.dim, self.metric, compute_dtype=self.compute_dtype)
-        self._dirty = True
-        self._dev = None
+        self._install_device_slab(x_dev, order)
 
     def get_centroids(self) -> Optional[np.ndarray]:
         return None if self._centroids is None else self._centroids.copy()
@@ -255,18 +263,14 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         with self.lock:
             return self._sync_locked()
 
-    def _sync_locked(self) -> dict:
-        if self._dev is not None and not self._dirty:
-            return self._dev
+    def _host_tables(self) -> dict:
+        """Padded centroid/list/alive tables shared by the host-upload sync
+        and the device-side build install."""
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
         l_pad = int(round_up(max(int(self._lens.max()) if k else 1, 1), 128))
         n = self._xperm.shape[0]
         npad = round_up(n, 8) + l_pad  # tail pad so every slice stays in range
-        xp = np.zeros((npad, self.dim), np.float32)
-        xp[:n] = self._xperm
-        sq = np.zeros(npad, np.float32)
-        sq[:n] = np.einsum("nd,nd->n", self._xperm, self._xperm)
         alive = np.zeros(npad, bool)
         alive[:n] = self._alive
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -278,16 +282,46 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         lens = np.zeros(kpad, np.int32)
         offs[:k] = self._offsets
         lens[:k] = self._lens
+        return {
+            "k": k, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,
+            "alive": alive, "cents": cents, "cvalid": cvalid,
+            "offs": offs, "lens": lens,
+        }
+
+    def _dev_common(self, t: dict) -> dict:
+        return {
+            "cents": jnp.asarray(t["cents"]),
+            "cvalid": jnp.asarray(t["cvalid"]),
+            "alive": jnp.asarray(t["alive"]),
+            "offsets": jnp.asarray(t["offs"]),
+            "lens": jnp.asarray(t["lens"]),
+            "l_pad": t["l_pad"],
+            "k_actual": t["k"],
+        }
+
+    def _install_device_slab(self, x_dev: jax.Array, order: np.ndarray) -> None:
+        """Build the device search slab from the already-uploaded corpus
+        buffer via a device-side permuted take — no slab re-upload."""
+        from pyrope_tpu.ops.slab import pad_order, take_slab
+
+        t = self._host_tables()
+        xperm, sqnorm = take_slab(x_dev, pad_order(order, t["npad"], x_dev.shape[0]))
+        self._dev = {"xperm": xperm, "sqnorm": sqnorm, **self._dev_common(t)}
+        self._dirty = False
+
+    def _sync_locked(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        t = self._host_tables()
+        n, npad = t["n"], t["npad"]
+        xp = np.zeros((npad, self.dim), np.float32)
+        xp[:n] = self._xperm
+        sq = np.zeros(npad, np.float32)
+        sq[:n] = np.einsum("nd,nd->n", self._xperm, self._xperm)
         self._dev = {
-            "cents": jnp.asarray(cents),
-            "cvalid": jnp.asarray(cvalid),
             "xperm": jnp.asarray(xp),
             "sqnorm": jnp.asarray(sq),
-            "alive": jnp.asarray(alive),
-            "offsets": jnp.asarray(offs),
-            "lens": jnp.asarray(lens),
-            "l_pad": l_pad,
-            "k_actual": k,
+            **self._dev_common(t),
         }
         self._dirty = False
         return self._dev

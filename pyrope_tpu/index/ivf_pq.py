@@ -40,8 +40,14 @@ import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
 from pyrope_tpu.index.flat import FlatIndex
-from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
-from pyrope_tpu.ops.pq import ProductQuantizer, adc_accumulate, adc_ip_table, adc_l2_table
+from pyrope_tpu.ops.kmeans import kmeans_build
+from pyrope_tpu.ops.pq import (
+    ProductQuantizer,
+    adc_accumulate,
+    adc_ip_table,
+    adc_l2_table,
+    pq_train_encode_device,
+)
 from pyrope_tpu.ops.topk import merge_topk
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -54,6 +60,12 @@ from pyrope_tpu.utils.shapes import batch_bucket, round_up
 
 COARSE_SEED = 123  # ref: IvfPqVectorIndex.cs:67-70 coarse k-means seed 123
 DEFAULT_NPROBE = 3
+
+
+@jax.jit
+def _residuals(x, cents, assign):
+    """r = v - c on device (ref: IvfPqVectorIndex.cs:73-86 Parallel.For)."""
+    return x - jnp.take(cents, assign, axis=0)
 
 
 def adc_scan_probed_lists(
@@ -159,6 +171,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         seed: int = COARSE_SEED,
         refine: int = 64,
         refine_storage: str = "bf16",  # bf16 | fp32
+        train_dtype: Optional[str] = None,
     ):
         """``refine``: exact-rerank shortlist factor — ADC selects
         ``refine * top_k`` candidates whose raw rows are gathered and
@@ -178,6 +191,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         if refine_storage not in ("bf16", "fp32"):
             raise ValueError(f"refine_storage must be bf16|fp32, got {refine_storage}")
         self.refine_storage = refine_storage
+        self.train_dtype = train_dtype  # training matmuls only (see IvfFlatIndex)
         self.pq = ProductQuantizer(m=int(pq_m), ksub=int(ksub), dim=self.dim)
 
         self._buffer = FlatIndex(dim, self.metric)
@@ -259,11 +273,28 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         kc = min(self.nlist, n)
 
         metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
-        cents = kmeans_train(x, kc, metric, seed=self.seed)
-        assign = kmeans_assign(x, cents, metric)
-        residuals = x - cents[assign]                  # ref :73-86
-        self.pq.train(residuals, seed=42)              # ref PQ seed 42+m
-        codes = self.pq.encode(residuals)
+        # single corpus upload: coarse train/assign, residuals, PQ training,
+        # encoding, and the permuted slabs all reuse one device buffer
+        # (VERDICT r1 #3 — the m16 build was 16 sequential k-means each
+        # re-uploading its subspace)
+        cents, assign, x_dev = kmeans_build(
+            x, kc, metric, seed=self.seed, compute_dtype=self.train_dtype
+        )
+
+        codes_dev = None
+        if n >= self.pq.ksub:
+            assign_pad = np.zeros(x_dev.shape[0], np.int32)
+            assign_pad[:n] = assign
+            r_dev = _residuals(x_dev, jnp.asarray(cents), jnp.asarray(assign_pad))
+            codebooks, codes_dev = pq_train_encode_device(
+                r_dev, n, self.pq, seed=42, compute=self.train_dtype  # ref PQ seed 42+m
+            )
+            self.pq.codebooks = codebooks
+            codes = np.asarray(codes_dev)[:n].astype(np.uint8)
+        else:  # tiny corpus: host path handles k < ksub centroid duplication
+            residuals = x - cents[assign]                  # ref :73-86
+            self.pq.train(residuals, seed=42)
+            codes = self.pq.encode(residuals)
 
         order = np.argsort(assign, kind="stable")
         self._xperm = np.ascontiguousarray(x[order])
@@ -277,8 +308,11 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         self._main_live = n
         self._built = True
         self._buffer = FlatIndex(self.dim, self.metric)
-        self._dirty = True
-        self._dev = None
+        if codes_dev is not None:
+            self._install_device_slab(x_dev, codes_dev, order)
+        else:
+            self._dirty = True
+            self._dev = None
 
     def get_centroids(self) -> Optional[np.ndarray]:
         return None if self._centroids is None else self._centroids.copy()
@@ -291,16 +325,12 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         with self.lock:
             return self._sync_locked()
 
-    def _sync_locked(self) -> dict:
-        if self._dev is not None and not self._dirty:
-            return self._dev
+    def _host_tables(self) -> dict:
         kc = self._lens.shape[0]
         kpad = round_up(max(kc, 1), 8)
         l_pad = int(round_up(max(int(self._lens.max()) if kc else 1, 1), 128))
         n = self._codes.shape[0]
         npad = round_up(n, 8) + l_pad
-        codes = np.zeros((npad, self.pq.m), np.uint8)
-        codes[:n] = self._codes
         alive = np.zeros(npad, bool)
         alive[:n] = self._alive
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -312,17 +342,49 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         lens = np.zeros(kpad, np.int32)
         offs[:kc] = self._offsets
         lens[:kc] = self._lens
-        self._dev = {
-            "cents": jnp.asarray(cents),
-            "cvalid": jnp.asarray(cvalid),
-            "codes": jnp.asarray(codes),
-            "alive": jnp.asarray(alive),
-            "offsets": jnp.asarray(offs),
-            "lens": jnp.asarray(lens),
-            "codebooks": jnp.asarray(self.pq.codebooks),
-            "l_pad": l_pad,
-            "k_actual": kc,
+        return {
+            "k": kc, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,
+            "alive": alive, "cents": cents, "cvalid": cvalid,
+            "offs": offs, "lens": lens,
         }
+
+    def _dev_common(self, t: dict) -> dict:
+        return {
+            "cents": jnp.asarray(t["cents"]),
+            "cvalid": jnp.asarray(t["cvalid"]),
+            "alive": jnp.asarray(t["alive"]),
+            "offsets": jnp.asarray(t["offs"]),
+            "lens": jnp.asarray(t["lens"]),
+            "codebooks": jnp.asarray(self.pq.codebooks),
+            "l_pad": t["l_pad"],
+            "k_actual": t["k"],
+        }
+
+    def _install_device_slab(
+        self, x_dev: jax.Array, codes_dev: jax.Array, order: np.ndarray
+    ) -> None:
+        """Permute codes + rerank slab on device from the build's buffers —
+        no re-upload (see ops/slab.py)."""
+        from pyrope_tpu.ops.slab import pad_order, take_rows, take_slab_cast
+
+        t = self._host_tables()
+        idx = pad_order(order, t["npad"], x_dev.shape[0])
+        dev = self._dev_common(t)
+        dev["codes"] = take_rows(codes_dev, idx).astype(jnp.uint8)
+        if self.refine > 0:
+            dt = "bfloat16" if self.refine_storage == "bf16" else "float32"
+            dev["xraw"], dev["xsqnorm"] = take_slab_cast(x_dev, idx, dtype=dt)
+        self._dev = dev
+        self._dirty = False
+
+    def _sync_locked(self) -> dict:
+        if self._dev is not None and not self._dirty:
+            return self._dev
+        t = self._host_tables()
+        n, npad = t["n"], t["npad"]
+        codes = np.zeros((npad, self.pq.m), np.uint8)
+        codes[:n] = self._codes
+        self._dev = {"codes": jnp.asarray(codes), **self._dev_common(t)}
         if self.refine > 0:
             # raw slab for the exact rerank stage (bf16 halves HBM; sqnorms
             # are computed from the fp32 truth so L2 stays exact up to the

@@ -14,6 +14,7 @@ score matmul per subspace, and the ADC table is one einsum
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +22,7 @@ import numpy as np
 
 from pyrope_tpu.ops.kmeans import kmeans_assign, kmeans_train
 from pyrope_tpu.types import Metric
+from pyrope_tpu.utils.shapes import round_up
 
 
 @dataclasses.dataclass
@@ -92,6 +94,125 @@ class ProductQuantizer:
         cb = st.get("codebooks")
         pq.codebooks = None if cb is None or np.size(cb) == 0 else np.asarray(cb, np.float32)
         return pq
+
+
+def _sub_scores(xblk, cents, cc, compute):
+    """Nearest-sub-centroid score 2*q·c - ||c||^2 (argmax == L2 argmin).
+    ``compute``: None = fp32 HIGHEST (bit-stable), else operand cast dtype
+    (bf16 is ~6x MXU throughput; the rerank stage absorbs the codebook
+    perturbation — with rerank the ADC is only a shortlist ranker)."""
+    if compute is None:
+        d = jnp.einsum("bms,mks->mbk", xblk, cents,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    else:
+        cd = jnp.dtype(compute)
+        d = jnp.einsum("bms,mks->mbk", xblk.astype(cd), cents.astype(cd),
+                       preferred_element_type=jnp.float32)
+    return 2.0 * d - cc[:, None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "block", "compute"))
+def _pq_lloyd(x, valid, cents0, *, iters: int, block: int, compute):
+    """Batched Lloyd over ALL subspaces at once: x [Npad, M, S],
+    valid [Npad], cents0 [M, K, S] -> [M, K, S]. One scan over row blocks
+    per iteration; the m16 build's 16 sequential k-means (the r1 build-time
+    killer, VERDICT r1 #3) collapse into one device program."""
+    npad, m, s = x.shape
+    kk = cents0.shape[1]
+    xb = x.reshape(npad // block, block, m, s)
+    vb = valid.reshape(-1, block)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, kk), 2)
+
+    def one_iter(cents, _):
+        cc = jnp.sum(cents * cents, axis=-1)  # [M, K]
+
+        def per_block(carry, inp):
+            sums, counts = carry
+            xblk, vblk = inp  # [B, M, S], [B]
+            a = jnp.argmax(_sub_scores(xblk, cents, cc, compute), axis=-1)  # [M, B]
+            onehot = (
+                (a[..., None] == kiota) & vblk[None, :, None]
+            ).astype(jnp.float32)                              # [M, B, K]
+            # centroid update accumulates in fp32 regardless of compute;
+            # HIGHEST keeps it a bit-exact segment-sum when compute is None
+            sums = sums + jnp.einsum(
+                "mbk,bms->mks", onehot, xblk,
+                preferred_element_type=jnp.float32,
+                precision=None if compute else jax.lax.Precision.HIGHEST,
+            )
+            counts = counts + jnp.sum(onehot, axis=1)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            per_block,
+            (jnp.zeros((m, kk, s), jnp.float32), jnp.zeros((m, kk), jnp.float32)),
+            (xb, vb),
+        )
+        new = sums / jnp.maximum(counts, 1.0)[..., None]
+        # empty cluster keeps its previous centroid (ref KMeansUtils behavior)
+        return jnp.where(counts[..., None] > 0, new, cents), None
+
+    cents, _ = jax.lax.scan(one_iter, cents0, None, length=iters)
+    return cents
+
+
+@functools.partial(jax.jit, static_argnames=("block", "compute"))
+def _pq_encode(x, cents, *, block: int, compute):
+    """Blocked nearest sub-centroid for all subspaces: x [Npad, M, S],
+    cents [M, K, S] -> codes [Npad, M] int32."""
+    npad, m, s = x.shape
+    xb = x.reshape(npad // block, block, m, s)
+    cc = jnp.sum(cents * cents, axis=-1)
+
+    def per_block(_, xblk):
+        a = jnp.argmax(_sub_scores(xblk, cents, cc, compute), axis=-1)
+        return None, a.astype(jnp.int32)
+
+    _, a = jax.lax.scan(per_block, None, xb)  # [nblocks, M, B]
+    return a.transpose(0, 2, 1).reshape(npad, m)
+
+
+def pq_train_encode_device(
+    r_dev: jax.Array,
+    n: int,
+    pq: "ProductQuantizer",
+    *,
+    seed: int = 42,
+    iters: int = 10,
+    block: int = 8192,
+    compute: str | None = "bfloat16",
+) -> tuple[np.ndarray, jax.Array]:
+    """Train codebooks and encode on an already-device-resident residual
+    buffer (rows >= n are padding). Same per-subspace seeds / init / Lloyd
+    semantics as ProductQuantizer.train (ref: ProductQuantizer.cs:28-80) but
+    batched over subspaces and with zero host->device re-upload.
+
+    Returns (codebooks [m, ksub, sub] np, codes_dev [Npad, m] int32 device —
+    callers permute it into the slab on device and slice [:n] on host).
+    Requires n >= ksub (callers fall back to the host path below that).
+    """
+    m, ksub, sub = pq.m, pq.ksub, pq.sub
+    npad0 = r_dev.shape[0]
+    block = min(block, npad0)
+    npad = round_up(npad0, block)
+    x = r_dev.reshape(npad0, m, sub)
+    if npad != npad0:
+        x = jnp.pad(x, ((0, npad - npad0), (0, 0), (0, 0)))
+    valid = np.zeros(npad, bool)
+    valid[:n] = True
+
+    # per-subspace random-sample init, seed 42+m (ref :28-58)
+    init_rows = np.stack([
+        np.random.default_rng(seed + mi).choice(n, size=ksub, replace=False)
+        for mi in range(m)
+    ])  # [m, ksub]
+    cents0 = x[jnp.asarray(init_rows), jnp.arange(m)[:, None], :]  # [m, ksub, sub]
+
+    cents = _pq_lloyd(x, jnp.asarray(valid), cents0, iters=iters, block=block,
+                      compute=compute)
+    codes = _pq_encode(x, cents, block=block, compute=compute)
+    return np.asarray(cents), codes
 
 
 def adc_l2_table(q: jax.Array, codebooks: jax.Array) -> jax.Array:

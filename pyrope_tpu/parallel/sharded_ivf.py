@@ -147,6 +147,13 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         self._fn_cache: dict = {}
         self._enc_to_perm: Optional[np.ndarray] = None   # encoded -> perm row
 
+    def _install_device_slab(self, x_dev, order) -> None:
+        """The single-chip build's device-side slab install doesn't apply:
+        the sharded layout is round-robin per list and is materialized by
+        this class's _sync. Defer to it."""
+        self._dirty = True
+        self._dev = None
+
     def _sync(self) -> dict:
         if self._dev is not None and not self._dirty:
             return self._dev

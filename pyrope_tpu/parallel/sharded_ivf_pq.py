@@ -36,19 +36,36 @@ from pyrope_tpu.utils.shapes import batch_bucket, round_up
 
 def make_sharded_ivfpq_search(
     mesh: Mesh, metric: Metric, k: int, nprobe: int, l_pad: int,
-    stride: int, probe_metric: Metric,
+    stride: int, probe_metric: Metric, refine_r: int = 0,
 ):
-    def local(cents, cvalid, codes, alive, offsets, lens, codebooks, q, ms_local):
+    """With ``refine_r`` > 0 every shard reranks its own ADC top-R locally
+    (exact re-score against its raw-slab shard) BEFORE the collective, so
+    the ICI all_gather payload stays [B, k]. The union of per-shard top-R
+    shortlists is a superset of the global top-R, so the sharded result
+    matches the single-chip rerank exactly (up to fp ties)."""
+
+    def local(cents, cvalid, codes, alive, offsets, lens, codebooks,
+              xraw, xsq, q, ms_local):
         codes, alive = codes[0], alive[0]
         offsets, lens = offsets[0], lens[0]
         shard = jax.lax.axis_index(DATA_AXIS)
         probe, offs_p, eff = rank_probes(
             q, cents, cvalid, offsets, lens, nprobe, ms_local, probe_metric, None
         )
-        vals, gidx = adc_scan_probed_lists(
-            codes, alive, q, cents, codebooks, probe, offs_p, eff,
-            k=k, l_pad=l_pad, metric=metric, row_base=shard * stride,
-        )
+        if refine_r:
+            from pyrope_tpu.ops.distance import rerank_exact
+
+            _, cand = adc_scan_probed_lists(
+                codes, alive, q, cents, codebooks, probe, offs_p, eff,
+                k=refine_r, l_pad=l_pad, metric=metric,  # local slab rows
+            )
+            vals, lid = rerank_exact(xraw[0], xsq[0], q, cand, k, metric)
+            gidx = jnp.where(lid >= 0, shard * stride + lid, -1)
+        else:
+            vals, gidx = adc_scan_probed_lists(
+                codes, alive, q, cents, codebooks, probe, offs_p, eff,
+                k=k, l_pad=l_pad, metric=metric, row_base=shard * stride,
+            )
         vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
         mvals, pos = jax.lax.top_k(vals_all, k)
@@ -64,6 +81,7 @@ def make_sharded_ivfpq_search(
             P(DATA_AXIS, None, None), P(DATA_AXIS, None),  # codes, alive
             P(DATA_AXIS, None), P(DATA_AXIS, None),        # offsets, lens
             P(None, None, None),                           # codebooks replicated
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None),  # rerank slab + sqnorms
             P(None, None), P(),
         ),
         out_specs=(P(None, None), P(None, None)),
@@ -86,15 +104,22 @@ class ShardedIvfPqIndex(IvfPqIndex):
         ksub: int = 256,
         nprobe: int = 3,
         seed: int = 123,
+        refine: int = 64,
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = self.mesh.devices.size
         super().__init__(
             dim, metric, nlist=nlist, pq_m=pq_m, ksub=ksub,
-            nprobe=nprobe, seed=seed,
+            nprobe=nprobe, seed=seed, refine=refine,
         )
         self._fn_cache: dict = {}
         self._enc_to_perm: Optional[np.ndarray] = None
+
+    def _install_device_slab(self, x_dev, codes_dev, order) -> None:
+        """Single-chip device-side install doesn't apply to the sharded
+        round-robin layout; defer to this class's _sync."""
+        self._dirty = True
+        self._dev = None
 
     def _sync(self) -> dict:
         if self._dev is not None and not self._dirty:
@@ -111,10 +136,16 @@ class ShardedIvfPqIndex(IvfPqIndex):
         codes = np.zeros((nd, cap_local, m), np.uint8)
         alive = np.zeros((nd, cap_local), bool)
         enc_to_perm = np.full(nd * cap_local, -1, np.int64)
+        xraw = (
+            np.zeros((nd, cap_local, self.dim), np.float32)
+            if self.refine > 0 else None
+        )
         for s, c, rows in placements:
             n_rows = len(rows)
             codes[s, c : c + n_rows] = self._codes[rows]
             alive[s, c : c + n_rows] = self._alive[rows]
+            if xraw is not None:
+                xraw[s, c : c + n_rows] = self._xperm[rows]
             enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
 
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -143,6 +174,18 @@ class ShardedIvfPqIndex(IvfPqIndex):
             "stride": stride,
             "k_actual": k,
         }
+        if xraw is not None:
+            dt = jnp.bfloat16 if self.refine_storage == "bf16" else jnp.float32
+            sq = np.einsum("snd,snd->sn", xraw, xraw).astype(np.float32)
+            self._dev["xraw"] = jax.device_put(jnp.asarray(xraw, dtype=dt), row3)
+            self._dev["xsqnorm"] = jax.device_put(jnp.asarray(sq), row2)
+        else:
+            # dummies keep the shard_map signature static across configs
+            dt = jnp.bfloat16 if self.refine_storage == "bf16" else jnp.float32
+            self._dev["xraw"] = jax.device_put(
+                jnp.zeros((nd, 1, self.dim), dtype=dt), row3)
+            self._dev["xsqnorm"] = jax.device_put(
+                jnp.zeros((nd, 1), jnp.float32), row2)
         self._dirty = False
         return self._dev
 
@@ -169,17 +212,22 @@ class ShardedIvfPqIndex(IvfPqIndex):
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
         probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        refine_r = (
+            max(top_k, min(self.refine * top_k, dev["stride"]))
+            if self.refine > 0 else 0
+        )
         # metric is part of the key: load() may swap self.metric in place
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric)
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric, refine_r)
         fn = self._fn_cache.get(key)
         if fn is None:
             fn = self._fn_cache[key] = make_sharded_ivfpq_search(
                 self.mesh, search_metric, top_k, nprobe, dev["l_pad"],
-                dev["stride"], probe_metric,
+                dev["stride"], probe_metric, refine_r,
             )
         return fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
-            dev["offsets"], dev["lens"], dev["codebooks"], q, device_i32(ms_local),
+            dev["offsets"], dev["lens"], dev["codebooks"],
+            dev["xraw"], dev["xsqnorm"], q, device_i32(ms_local),
         )
 
     def _decode(self, rows: np.ndarray) -> np.ndarray:

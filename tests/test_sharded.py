@@ -177,19 +177,28 @@ class TestShardedIvfPq:
         ids = [str(i) for i in range(n)]
         q = rng.random((8, dim), dtype=np.float32)
 
-        ref = pt.IvfPqIndex(dim, "L2", nlist=8, pq_m=4, ksub=64)
+        # refine=400 -> R covers the whole 3000-row corpus on both paths, so
+        # the shortlists are complete and results must agree (a smaller R is
+        # a per-shard ADVANTAGE for the sharded path: it ADC-shortlists per
+        # shard and so covers more of the probed rows than one global top-R)
+        ref = pt.IvfPqIndex(dim, "L2", nlist=8, pq_m=4, ksub=64, refine=400)
         ref.add_batch(ids, base)
         ref.build()
-        sh = ShardedIvfPqIndex(dim, "L2", mesh=make_mesh(8), nlist=8, pq_m=4, ksub=64)
+        sh = ShardedIvfPqIndex(dim, "L2", mesh=make_mesh(8), nlist=8, pq_m=4,
+                               ksub=64, refine=400)
         sh.add_batch(ids, base)
         sh.build()
         opts = pt.SearchOptions(nprobe=8)
         r_ref = ref.search_batch(q, 10, opts)
         r_sh = sh.search_batch(q, 10, opts)
         for a, b in zip(r_ref, r_sh):
-            assert [h.id for h in a] == [h.id for h in b]
+            # exact-rerank scores are computed over different gather widths
+            # on the two paths, so fp ties may reorder; a position may hold
+            # a different id ONLY when the two scores are a near-tie
             for ha, hb in zip(a, b):
                 assert abs(ha.score - hb.score) < 1e-2
+                if ha.id != hb.id:
+                    assert abs(ha.score - hb.score) < 1e-3, (ha, hb)
 
     def test_buffer_and_delete(self):
         import numpy as np
