@@ -492,7 +492,7 @@ class HnswIndex(VectorIndex):
             raise RuntimeError("device_search on empty index")
         ef = options.ef_search or self.ef_search
         pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
-        steps = max(4, -(-pool // EXPAND_PER_STEP) + 4)
+        steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
         dev = self._sync()
         search_metric = (
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
@@ -528,7 +528,7 @@ class HnswIndex(VectorIndex):
 
         ef = options.ef_search or self.ef_search
         pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
-        steps = max(4, -(-pool // EXPAND_PER_STEP) + 4)
+        steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
         b = q.shape[0]
         bb = batch_bucket(b)
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
