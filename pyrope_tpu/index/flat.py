@@ -62,6 +62,30 @@ def _dense_search_fn(metric: Metric, k: int, compute: str | None, selection: str
     return fn
 
 
+def sq8_scores(codes, mins, scales, sqnorm, q, metric: Metric, cdtype) -> jax.Array:
+    """[B, cap] metric scores over an SQ8 slab via the exact affine
+    decomposition dot(q, x̂) = scale·dot(q, code) + min·Σq (unlike the
+    reference, which compares raw bytes and loses the per-vector scale —
+    ref: ScalarQuantizer.cs caveat, docs/benchmarks/20260118_p10_14).
+    Shared by the single-chip jit and the sharded shard_map local."""
+    qf = q.astype(jnp.float32)
+    raw = jnp.dot(
+        qf.astype(cdtype), codes.astype(cdtype).T,
+        preferred_element_type=jnp.float32,
+    )  # [B, cap] = dot(q, code)
+    qsum = jnp.sum(qf, axis=-1)  # Σq per query
+    dots = raw * scales[None, :] + qsum[:, None] * mins[None, :]
+    if metric == Metric.INNER_PRODUCT:
+        return dots
+    if metric == Metric.L2:
+        qq = jnp.sum(qf * qf, axis=-1)
+        d2 = qq[:, None] - 2.0 * dots + sqnorm[None, :]
+        return -jnp.maximum(d2, 0.0)
+    qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))  # COSINE
+    xn = jnp.sqrt(jnp.maximum(sqnorm, 1e-24))
+    return dots / jnp.maximum(qn[:, None] * xn[None, :], 1e-12)
+
+
 @functools.lru_cache(maxsize=None)
 def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str = "exact"):
     """Jitted SQ8 scan: int8 codes + per-vector (min, scale) affine
@@ -71,23 +95,7 @@ def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str =
 
     @jax.jit
     def fn(codes, mins, scales, sqnorm, alive, q, max_scans):
-        qf = q.astype(jnp.float32)
-        raw = jnp.dot(
-            qf.astype(cdtype), codes.astype(cdtype).T,
-            preferred_element_type=jnp.float32,
-        )  # [B, cap] = dot(q, code)
-        qsum = jnp.sum(qf, axis=-1)  # Σq per query
-        dots = raw * scales[None, :] + qsum[:, None] * mins[None, :]
-        if metric == Metric.INNER_PRODUCT:
-            scores = dots
-        elif metric == Metric.L2:
-            qq = jnp.sum(qf * qf, axis=-1)
-            d2 = qq[:, None] - 2.0 * dots + sqnorm[None, :]
-            scores = -jnp.maximum(d2, 0.0)
-        else:  # COSINE
-            qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
-            xn = jnp.sqrt(jnp.maximum(sqnorm, 1e-24))
-            scores = dots / jnp.maximum(qn[:, None] * xn[None, :], 1e-12)
+        scores = sq8_scores(codes, mins, scales, sqnorm, q, metric, cdtype)
         row = jax.lax.broadcasted_iota(jnp.int32, (codes.shape[0], 1), 0)[:, 0]
         mask = alive & (row < max_scans)
         return masked_topk(scores, mask[None, :], k, selection)

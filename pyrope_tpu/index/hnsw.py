@@ -57,11 +57,13 @@ UPPER_GREEDY_STEPS = 16   # fixed greedy-descent iterations per upper level
 EXPAND_PER_STEP = 8       # E: pool entries expanded per beam iteration
 
 
-@functools.lru_cache(maxsize=None)
-def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int, n_upper: int):
-    """Jitted batched beam search at layer 0 (+ greedy upper descent)."""
-
-    @jax.jit
+def beam_search_body(
+    x, sqnorm, adj0, adj_up, alive, entry, q,
+    *, metric: Metric, k: int, pool: int, steps: int, n_upper: int,
+):
+    """Batched beam search body (greedy upper descent + layer-0 beam).
+    Module-level so the sharded query-parallel wrapper
+    (pyrope_tpu/parallel/sharded_hnsw.py) can shard_map the same program."""
     def fn(x, sqnorm, adj0, adj_up, alive, entry, q):
         b, d = q.shape
         qf = q.astype(jnp.float32)
@@ -164,7 +166,16 @@ def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int, n_upper: int)
         ids = jnp.where(jnp.isfinite(vals), ids, -1)
         return vals, ids
 
-    return fn
+    return fn(x, sqnorm, adj0, adj_up, alive, entry, q)
+
+
+@functools.lru_cache(maxsize=None)
+def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int, n_upper: int):
+    """Jitted batched beam search at layer 0 (+ greedy upper descent)."""
+    return jax.jit(functools.partial(
+        beam_search_body, metric=metric, k=k, pool=pool, steps=steps,
+        n_upper=n_upper,
+    ))
 
 
 class HnswIndex(VectorIndex):

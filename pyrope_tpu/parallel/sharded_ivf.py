@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pyrope_tpu.index.ivf_flat import IvfFlatIndex, rank_probes, scan_probed_lists
 from pyrope_tpu.ops.scalars import device_i32
-from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     Metric,
@@ -78,9 +78,13 @@ def make_sharded_ivf_search(
     stride: int, compute: str | None,
 ):
     """shard_map'd probed scan. Per-shard inputs carry a leading mesh-axis
-    dim of 1 inside the body."""
+    dim of 1 inside the body. On a 2-D batch × data mesh the query batch is
+    additionally sharded over BATCH_AXIS (each batch group probes the whole
+    corpus across its data row; the all_gather merge stays within the data
+    axis — no cross-batch traffic)."""
     cdtype = None if compute is None else jnp.dtype(compute)
     prec = jax.lax.Precision.HIGHEST if compute is None else None
+    two_d = BATCH_AXIS in mesh.axis_names
 
     def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, q, ms_local):
         xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
@@ -105,6 +109,8 @@ def make_sharded_ivf_search(
         mids = jnp.where(jnp.isfinite(mvals), mids, -1)
         return mvals, mids
 
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
@@ -112,9 +118,9 @@ def make_sharded_ivf_search(
             P(None, None), P(None),                      # centroids replicated
             P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None), P(DATA_AXIS, None),
-            P(None, None), P(),
+            q_spec, P(),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(out_one, out_one),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -139,7 +145,9 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         seed: int = 42,
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
-        self._ndev = self.mesh.devices.size
+        # rows are dealt over the DATA axis only (a 2-D mesh replicates the
+        # slab across BATCH groups)
+        self._ndev = int(self.mesh.shape[DATA_AXIS])
         super().__init__(
             dim, metric, nlist=nlist, nprobe=nprobe,
             compute_dtype=compute_dtype, seed=seed,

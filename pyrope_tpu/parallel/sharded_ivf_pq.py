@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pyrope_tpu.index.ivf_flat import rank_probes
 from pyrope_tpu.index.ivf_pq import IvfPqIndex, adc_scan_probed_lists
 from pyrope_tpu.ops.scalars import device_i32
-from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
 from pyrope_tpu.parallel.sharded_ivf import roundrobin_layout
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -107,7 +107,7 @@ class ShardedIvfPqIndex(IvfPqIndex):
         refine: int = 64,
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
-        self._ndev = self.mesh.devices.size
+        self._ndev = int(self.mesh.shape[DATA_AXIS])  # rows deal over DATA only
         super().__init__(
             dim, metric, nlist=nlist, pq_m=pq_m, ksub=ksub,
             nprobe=nprobe, seed=seed, refine=refine,

@@ -74,7 +74,10 @@ def train(
 
 def maybe_export_onnx(model, path: Path) -> bool:
     """ONNX export when skl2onnx/onnx are installed (they are not in this
-    image — the reference's export+checker flow, train_model.py:96-130)."""
+    image). Mirrors the reference's full flow — convert, structural checker,
+    then an onnxruntime smoke inference that the exported graph actually
+    answers on a feature row before the artifact is staged
+    (ref: src/Pyrope.AISidecar/train_model.py:96-130)."""
     try:
         from skl2onnx import convert_sklearn  # type: ignore
         from skl2onnx.common.data_types import FloatTensorType  # type: ignore
@@ -85,7 +88,20 @@ def maybe_export_onnx(model, path: Path) -> bool:
         model, initial_types=[("input", FloatTensorType([None, len(FEATURES)]))]
     )
     onnx.checker.check_model(onx)
-    path.write_bytes(onx.SerializeToString())
+    blob = onx.SerializeToString()
+    # ort smoke inference (gated separately: ort may be absent even when
+    # skl2onnx is present); a failed run aborts the export entirely
+    try:
+        import onnxruntime as ort  # type: ignore
+    except ImportError:
+        ort = None
+    if ort is not None:
+        sess = ort.InferenceSession(blob)
+        probe = np.zeros((1, len(FEATURES)), np.float32)
+        out = sess.run(None, {"input": probe})
+        if not out:
+            raise RuntimeError("onnx export produced a graph with no outputs")
+    path.write_bytes(blob)
     return True
 
 

@@ -260,3 +260,127 @@ class TestBatchDataMesh:
         r2 = two_d.search_batch(q, 10)
         for a, b in zip(r1, r2):
             assert [h.id for h in a] == [h.id for h in b]
+
+
+class TestShardedSq8:
+    def test_matches_single_device_sq8(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedFlatIndex, make_mesh
+
+        rng = np.random.default_rng(3)
+        base = rng.random((2000, 32), dtype=np.float32)
+        ids = [str(i) for i in range(2000)]
+        q = rng.random((8, 32), dtype=np.float32)
+
+        ref = pt.FlatIndex(32, "L2", storage="sq8")
+        ref.add_batch(ids, base)
+        sh = ShardedFlatIndex(32, "L2", mesh=make_mesh(8), storage="sq8")
+        sh.add_batch(ids, base)
+        for a, b in zip(ref.search_batch(q, 10), sh.search_batch(q, 10)):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-2
+
+    def test_sq8_delete_visibility(self):
+        import numpy as np
+        from pyrope_tpu.parallel import ShardedFlatIndex, make_mesh
+
+        rng = np.random.default_rng(4)
+        base = rng.random((300, 16), dtype=np.float32)
+        sh = ShardedFlatIndex(16, "L2", mesh=make_mesh(4), storage="sq8")
+        sh.add_batch([str(i) for i in range(300)], base)
+        assert sh.search(base[7], 1)[0].id == "7"
+        sh.delete("7")
+        assert sh.search(base[7], 1)[0].id != "7"
+
+
+class TestShardedHnsw:
+    def test_matches_single_device_hnsw(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedHnswIndex, make_mesh
+        from pyrope_tpu.types import SearchOptions
+
+        rng = np.random.default_rng(5)
+        base = rng.random((1500, 32), dtype=np.float32)
+        ids = [str(i) for i in range(1500)]
+        q = rng.random((16, 32), dtype=np.float32)
+
+        ref = pt.HnswIndex(32, "L2", m=8, ef_construction=100, ef_search=32, seed=11)
+        ref.add_batch(ids, base)
+        sh = ShardedHnswIndex(
+            32, "L2", mesh=make_mesh(8), m=8, ef_construction=100,
+            ef_search=32, seed=11,
+        )
+        sh.add_batch(ids, base)
+        opts = SearchOptions(ef_search=32)
+        # identical graph (same seed) + identical beam program per query
+        # slice -> identical results
+        for a, b in zip(ref.search_batch(q, 10, opts), sh.search_batch(q, 10, opts)):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-4
+
+    def test_ragged_batch_pads(self):
+        import numpy as np
+        from pyrope_tpu.parallel import ShardedHnswIndex, make_mesh
+
+        rng = np.random.default_rng(6)
+        base = rng.random((500, 16), dtype=np.float32)
+        sh = ShardedHnswIndex(16, "L2", mesh=make_mesh(8), m=8)
+        sh.add_batch([str(i) for i in range(500)], base)
+        res = sh.search_batch(rng.random((5, 16), dtype=np.float32), 3)
+        assert len(res) == 5 and all(len(r) <= 3 for r in res)
+
+
+class TestShardedDelta:
+    def test_delta_composes_sharded_halves(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import (
+            ShardedFlatIndex,
+            ShardedIvfPqIndex,
+            make_mesh,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.random((1200, 32), dtype=np.float32)
+        mesh = make_mesh(8)
+        delta = pt.DeltaIndex(
+            ShardedFlatIndex(32, "L2", mesh=mesh),
+            ShardedIvfPqIndex(32, "L2", mesh=mesh, nlist=8, pq_m=4, ksub=64),
+        )
+        delta.add_batch([str(i) for i in range(1000)], base[:1000])
+        delta.build()  # compaction: head -> sharded tail
+        # post-compaction streaming adds land in the sharded head
+        delta.add_batch([str(i) for i in range(1000, 1200)], base[1000:])
+        assert delta.get_stats().count == 1200
+        hit = delta.search(base[1100], 1)[0]
+        assert hit.id == "1100"
+        hit = delta.search(base[50], 3, pt.SearchOptions(nprobe=8))
+        assert "50" in [h.id for h in hit]
+
+
+class TestTwoDMeshIvf:
+    def test_2d_batch_data_mesh_matches_1d(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh, make_mesh_2d
+
+        rng = np.random.default_rng(8)
+        base = rng.random((2000, 32), dtype=np.float32)
+        ids = [str(i) for i in range(2000)]
+        q = rng.random((8, 32), dtype=np.float32)
+        opts = pt.SearchOptions(nprobe=8)
+
+        one_d = ShardedIvfFlatIndex(32, "L2", mesh=make_mesh(4), nlist=8)
+        one_d.add_batch(ids, base)
+        one_d.build()
+        two_d = ShardedIvfFlatIndex(32, "L2", mesh=make_mesh_2d(2, 4), nlist=8)
+        two_d.add_batch(ids, base)
+        two_d.build()
+        for a, b in zip(one_d.search_batch(q, 10, opts), two_d.search_batch(q, 10, opts)):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-3

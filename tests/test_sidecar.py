@@ -348,3 +348,99 @@ class TestWorkerAutostart:
         assert os.path.exists(p)
         b2 = ContextualBanditEngine(epsilon=0.0, model_path=p)
         assert b2.select_action(m) == 1
+
+
+class TestOnnxExportGate:
+    """The gated ONNX export path (ref: train_model.py:96-130 — convert +
+    checker + onnxruntime smoke inference). The image ships no onnx, so the
+    flow is exercised with fake modules; the ImportError path must degrade
+    to the joblib-only artifact."""
+
+    def _fake_modules(self, calls):
+        import sys
+        import types
+
+        import numpy as np
+
+        class FakeOnx:
+            def SerializeToString(self):
+                return b"fake-onnx-bytes"
+
+        skl2onnx = types.ModuleType("skl2onnx")
+        skl2onnx.convert_sklearn = lambda model, initial_types: (
+            calls.append(("convert", len(initial_types))) or FakeOnx()
+        )
+        dt = types.ModuleType("skl2onnx.common.data_types")
+        dt.FloatTensorType = lambda shape: ("float_tensor", tuple(shape))
+        common = types.ModuleType("skl2onnx.common")
+        common.data_types = dt
+        skl2onnx.common = common
+
+        onnx = types.ModuleType("onnx")
+        onnx.checker = types.SimpleNamespace(
+            check_model=lambda m: calls.append(("check", type(m).__name__))
+        )
+
+        class FakeSession:
+            def __init__(self, blob):
+                calls.append(("ort_session", blob))
+
+            def run(self, outs, feeds):
+                calls.append(("ort_run", sorted(feeds)))
+                return [np.zeros((1, 2))]
+
+        ort = types.ModuleType("onnxruntime")
+        ort.InferenceSession = FakeSession
+        return {
+            "skl2onnx": skl2onnx,
+            "skl2onnx.common": common,
+            "skl2onnx.common.data_types": dt,
+            "onnx": onnx,
+            "onnxruntime": ort,
+        }
+
+    def test_export_flow_convert_check_ort_write(self, tmp_path, monkeypatch):
+        import sys
+
+        from pyrope_tpu.sidecar.train_model import maybe_export_onnx
+
+        calls = []
+        for name, mod in self._fake_modules(calls).items():
+            monkeypatch.setitem(sys.modules, name, mod)
+        out = tmp_path / "m.onnx"
+        assert maybe_export_onnx(object(), out) is True
+        assert [c[0] for c in calls] == ["convert", "check", "ort_session", "ort_run"]
+        assert calls[3][1] == ["input"]  # ort fed through the declared input
+        assert out.read_bytes() == b"fake-onnx-bytes"
+
+    def test_ort_failure_aborts_export(self, tmp_path, monkeypatch):
+        import sys
+
+        import pytest
+
+        from pyrope_tpu.sidecar.train_model import maybe_export_onnx
+
+        calls = []
+        mods = self._fake_modules(calls)
+
+        class BrokenSession:
+            def __init__(self, blob):
+                pass
+
+            def run(self, outs, feeds):
+                return []  # graph answers nothing
+
+        mods["onnxruntime"].InferenceSession = BrokenSession
+        for name, mod in mods.items():
+            monkeypatch.setitem(sys.modules, name, mod)
+        out = tmp_path / "m.onnx"
+        with pytest.raises(RuntimeError):
+            maybe_export_onnx(object(), out)
+        assert not out.exists()  # nothing staged on a failed smoke inference
+
+    def test_missing_toolchain_degrades(self, tmp_path):
+        from pyrope_tpu.sidecar.train_model import maybe_export_onnx
+
+        out = tmp_path / "m.onnx"
+        assert maybe_export_onnx(object(), out) is False  # image has no onnx
+        assert not out.exists()
