@@ -59,7 +59,9 @@ BASELINES = {
     "ivf100k_np16": 673.2,
     "ivf100k_np32": 673.2,
     "ivf100k_np64": 673.2,
+    "ivf100k_np96": 673.2,
     "flat100k_b1024": 69.6,
+    "ivf100k_b1024": 673.2,
 }
 
 CONFIGS = {
@@ -98,9 +100,11 @@ CONFIGS = {
     "ivf100k_np16": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "nprobe": 16}),
     "ivf100k_np32": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "nprobe": 32}),
     "ivf100k_np64": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "nprobe": 64}),
-    # device-batch 1024 through the exact scan: the throughput-oriented
-    # serving shape (the committed r1 rows were all dispatch-bound batch 64)
+    "ivf100k_np96": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "nprobe": 96}),
+    # device-batch 1024: the throughput-oriented serving shape (the
+    # committed r1 rows were all dispatch-bound batch 64)
     "flat100k_b1024": ("FLAT", 100_000, 128, {"batch": 1024}),
+    "ivf100k_b1024": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "batch": 1024}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "hnsw100k_clustered"}
@@ -108,6 +112,24 @@ CLUSTERED = {"ivf100k_clustered", "hnsw100k_clustered"}
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+_WARMED = False
+
+
+def _warm_backend():
+    """One throwaway transfer before any timed section: the first sizable
+    H2D in a process pays backend/tunnel initialization (measured 25-90 s
+    for the first 512 MB vs ~21 s steady-state) — that's environment setup,
+    not index-build work, so it must not land inside build_s."""
+    global _WARMED
+    if _WARMED:
+        return
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.ones((65536, 128), np.float32))  # real 32 MB H2D
+    np.asarray(x[0, :1])  # D2H fetch is the only true fence on axon
+    _WARMED = True
 
 
 def build_index(algo: str, dim: int, kwargs: dict):
@@ -232,6 +254,7 @@ def run_config(
         base = synthetic(n_base, dim)
         queries = synthetic_queries(max(n_queries, batch), dim)
     log(f"[{name}] algo={algo} n={n_base} dim={dim} batch={batch} topk={topk}")
+    _warm_backend()
     idx = build_index(algo, dim, kwargs)
 
     t0 = time.perf_counter()

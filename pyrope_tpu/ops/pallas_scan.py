@@ -53,7 +53,19 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
 
     q = q_ref[:]                                   # [Bt, D]
     x = x_ref[:]                                   # [T, D]
-    dots = pl.dot(q, x.T)                          # [Bt, T] fp32 on the MXU
+    # fp32 operands MUST pin HIGHEST: the MXU's default fp32 matmul runs
+    # bf16 passes, which silently demoted the "exact" fp32 config to bf16
+    # scores (measured recall 0.9828 instead of 1.0). bf16 slabs keep the
+    # fast default.
+    prec = (
+        jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+    )
+    dots = jax.lax.dot_general(
+        q.astype(x.dtype), x,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=prec,
+    )                                              # [Bt, T] fp32 accumulate
     if metric == Metric.L2:
         qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
         scores = -jnp.maximum(qq - 2.0 * dots + sq_ref[:][None, :], 0.0)
