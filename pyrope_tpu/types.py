@@ -84,6 +84,8 @@ class IndexParams:
     nlist: int = 100            # IVF coarse lists
     k: int = 256                # PQ sub-codebook size
     pq_m: int = 4               # PQ subspaces (ref IVF_PQ config m=4)
+    nprobe: int = 3             # IVF probes (ref CombineNProbe=3)
+    refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -104,6 +106,10 @@ class IndexParams:
                 p.k = int(val)
             elif kk in ("pq_m", "pqm"):
                 p.pq_m = int(val)
+            elif kk in ("nprobe", "n_probe"):
+                p.nprobe = int(val)
+            elif kk in ("refine",):
+                p.refine = int(val)
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p

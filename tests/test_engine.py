@@ -328,3 +328,30 @@ class TestReviewFixes:
         assert not r.ok and r.error_code == "VEC_ERR_QUOTA"
         r = eng.add_batch("t2", "bad:name", ["a"], np.ones((1, 4), np.float32))
         assert not r.ok and r.error_code == "VEC_ERR_DIM"
+
+
+class TestIndexParamsPlumbing:
+    """New tuning knobs must be reachable through the server's IndexConfig
+    (the reference parses all index params from config —
+    ref: Services/VectorIndexRegistry.cs:87-126)."""
+
+    def test_nprobe_and_refine_parse_and_apply(self):
+        from pyrope_tpu.registry import create_index
+        from pyrope_tpu.types import IndexConfig, IndexParams
+
+        p = IndexParams.from_dict(
+            {"nlist": 10, "pq_m": 4, "nprobe": 7, "refine": 16}
+        )
+        assert p.nprobe == 7 and p.refine == 16
+        idx = create_index(IndexConfig(dim=32, algorithm="IVF_PQ", params=p))
+        assert idx.tail.nprobe == 7 and idx.tail.refine == 16
+        idx2 = create_index(IndexConfig(dim=32, algorithm="IVF_FLAT", params=p))
+        assert idx2.tail.nprobe == 7
+
+    def test_unknown_param_rejected(self):
+        import pytest
+
+        from pyrope_tpu.types import IndexParams
+
+        with pytest.raises(ValueError):
+            IndexParams.from_dict({"bogus": 1})
