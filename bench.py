@@ -168,6 +168,15 @@ def build_index(algo: str, dim: int, kwargs: dict):
     raise ValueError(f"unknown algo {algo}")
 
 
+_ORACLE_CACHE: dict = {}
+
+
+def _oracle_key(base, *params):
+    # dataset fingerprint: shape + corner samples (exact array compare would
+    # copy); identical seeds produce identical corners
+    return (base.shape, float(base[0, 0]), float(base[-1, -1]), *params)
+
+
 def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx):
     """recall@k of the REFERENCE's algorithm on the same data at the same
     hyperparameters (CPU oracle, pyrope_tpu/utils/ref_oracle.py — cited
@@ -182,16 +191,25 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx):
     if base.shape[0] > 200_000:
         return None  # CPU Lloyd at 1M x nlist=1000 is minutes; documented gap
     if algo == "IVF_FLAT":
-        cents, lists = ro.ref_ivf_build(base, kwargs.get("nlist", 100), seed=42)
+        # the nprobe sweep shares one partition — memoize the CPU k-means
+        # (minutes of redundant single-core work per --all sweep otherwise)
+        key = _oracle_key(base, "ivf", kwargs.get("nlist", 100))
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = ro.ref_ivf_build(base, kwargs.get("nlist", 100), seed=42)
+        cents, lists = _ORACLE_CACHE[key]
         rows = np.stack([
             ro.ref_ivf_search(base, cents, lists, q, kwargs.get("nprobe", 3), topk)
             for q in gt_q
         ])
     elif algo == "IVF_PQ":
-        cents, lists, cbs, codes = ro.ref_ivfpq_build(
-            base, kwargs.get("nlist", 100), kwargs.get("pq_m", 4),
-            kwargs.get("ksub", 256),
-        )
+        key = _oracle_key(base, "ivfpq", kwargs.get("nlist", 100),
+                          kwargs.get("pq_m", 4), kwargs.get("ksub", 256))
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = ro.ref_ivfpq_build(
+                base, kwargs.get("nlist", 100), kwargs.get("pq_m", 4),
+                kwargs.get("ksub", 256),
+            )
+        cents, lists, cbs, codes = _ORACLE_CACHE[key]
         rows = np.stack([
             ro.ref_ivfpq_search(cents, lists, cbs, codes, q,
                                 kwargs.get("nprobe", 3), topk)
@@ -364,12 +382,16 @@ def main() -> None:
     if args.glove:
         # convert once to fvecs-equivalent flow: read tokens+vectors and
         # feed through the same path as --base-fvecs
+        if args.base_fvecs:
+            raise SystemExit("--glove and --base-fvecs are mutually exclusive")
+        import atexit
         import tempfile
 
         from pyrope_tpu.utils.datasets import read_glove_txt, write_fvecs
 
         _, vecs = read_glove_txt(args.glove, limit=args.base_limit)
         tmp = tempfile.NamedTemporaryFile(suffix=".fvecs", delete=False)
+        atexit.register(lambda p=tmp.name: os.unlink(p) if os.path.exists(p) else None)
         write_fvecs(tmp.name, vecs)
         args.base_fvecs = tmp.name
 

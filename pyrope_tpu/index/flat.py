@@ -322,25 +322,25 @@ class FlatIndex(VectorIndex):
         return self._dev
 
     def _sync_incremental(self) -> dict:
-        # Swap the dirty set out atomically BEFORE scattering so a concurrent
-        # _mark_dirty (caller may not hold the lock on every path) lands in a
-        # fresh set rather than being cleared away (ADVICE r1, high).
+        # Runs under self.lock (every mutator holds it too). Publish a NEW
+        # dev dict only after all arrays are updated and clear _dirty LAST,
+        # so the unlocked _sync fast path in a concurrent reader sees either
+        # the fully-old or fully-new view, never a torn one (r2 review).
         dirty = self._dirty_rows
-        self._dirty_rows = set()
-        self._dirty = False
         rows = np.fromiter(dirty, np.int64, len(dirty))
         vf = self._vecs[rows]
         idx = jnp.asarray(rows, jnp.int32)
         alive = jnp.asarray(self._alive[rows])
-        dev = self._dev
+        old = self._dev
+        new = dict(old)
         if self.storage == "sq8":
             codes, mins, scales = sq8_quantize(vf)
             deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
             sq = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
-            dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"], dev["alive"] = (
+            new["codes"], new["mins"], new["scales"], new["sqnorm"], new["alive"] = (
                 _scatter5(
-                    dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
-                    dev["alive"], idx, jnp.asarray(codes),
+                    old["codes"], old["mins"], old["scales"], old["sqnorm"],
+                    old["alive"], idx, jnp.asarray(codes),
                     jnp.asarray(mins.astype(np.float32)),
                     jnp.asarray(np.where(scales > 0, scales, 0.0).astype(np.float32)),
                     jnp.asarray(sq), alive,
@@ -349,11 +349,14 @@ class FlatIndex(VectorIndex):
         else:
             dt = _STORAGE_DTYPES[self.storage]
             sq = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
-            dev["vecs"], dev["sqnorm"], dev["alive"] = _scatter3(
-                dev["vecs"], dev["sqnorm"], dev["alive"],
+            new["vecs"], new["sqnorm"], new["alive"] = _scatter3(
+                old["vecs"], old["sqnorm"], old["alive"],
                 idx, jnp.asarray(vf, dtype=dt), jnp.asarray(sq), alive,
             )
-        return dev
+        self._dev = new
+        self._dirty = False
+        self._dirty_rows = set()
+        return new
 
     # ---- query ----------------------------------------------------------
 

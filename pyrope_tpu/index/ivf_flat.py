@@ -297,6 +297,11 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             "lens": jnp.asarray(t["lens"]),
             "l_pad": t["l_pad"],
             "k_actual": t["k"],
+            # row->id table CONSISTENT with this slab: build()/load() replace
+            # self._perm_ids with a fresh list, so a search that captured an
+            # older dev dict still resolves against the matching table
+            # (a concurrent rebuild otherwise crashes or mislabels hits)
+            "perm_ids": self._perm_ids,
         }
 
     def _install_device_slab(self, x_dev: jax.Array, order: np.ndarray) -> None:
@@ -387,13 +392,14 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         vals = np.asarray(vals[:b])
         rows = np.asarray(rows[:b])
 
+        perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []
         for bi in range(b):
             hits = list(buf_hits[bi])
             for v, r in zip(vals[bi], rows[bi]):
                 if r < 0 or not np.isfinite(v):
                     continue
-                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+                hits.append(SearchResult(perm_ids[int(r)], float(v)))
             hits.sort(key=lambda h: -h.score)
             out.append(hits[:top_k])
         return out

@@ -358,6 +358,8 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             "codebooks": jnp.asarray(self.pq.codebooks),
             "l_pad": t["l_pad"],
             "k_actual": t["k"],
+            # consistent row->id table for this slab (see IvfFlatIndex note)
+            "perm_ids": self._perm_ids,
         }
 
     def _install_device_slab(
@@ -474,13 +476,14 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         vals = np.asarray(vals[:b])
         rows = np.asarray(rows[:b])
 
+        perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []
         for bi in range(b):
             hits = list(buf_hits[bi])
             for v, r in zip(vals[bi], rows[bi]):
                 if r < 0 or not np.isfinite(v):
                     continue
-                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+                hits.append(SearchResult(perm_ids[int(r)], float(v)))
             hits.sort(key=lambda h: -h.score)
             out.append(hits[:top_k])
         return out

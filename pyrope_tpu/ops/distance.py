@@ -108,7 +108,12 @@ def rerank_exact(
     safe = jnp.maximum(cand_rows, 0)
     vecs = jnp.take(x, safe, axis=0).astype(jnp.float32)     # [B, R, D]
     qf = q.astype(jnp.float32)
-    dots = jnp.einsum("brd,bd->br", vecs, qf, preferred_element_type=jnp.float32)
+    # operands are fp32 here (even off a bf16 slab, post-cast) — pin HIGHEST
+    # or the MXU silently demotes the "exact" rerank to bf16 passes (the
+    # same class of bug fixed in ops/pallas_scan.py; CLAUDE.md invariant)
+    dots = jnp.einsum("brd,bd->br", vecs, qf,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     if metric == Metric.L2:
         qq = jnp.sum(qf * qf, axis=-1)
         sq = jnp.take(sqnorm, safe, axis=0)                  # [B, R]

@@ -173,6 +173,9 @@ class ShardedIvfPqIndex(IvfPqIndex):
             "l_pad": l_pad,
             "stride": stride,
             "k_actual": k,
+            # decode tables CONSISTENT with these shards (rebuild swaps them)
+            "enc_to_perm": enc_to_perm,
+            "perm_ids": self._perm_ids,
         }
         if xraw is not None:
             dt = jnp.bfloat16 if self.refine_storage == "bf16" else jnp.float32
@@ -262,16 +265,19 @@ class ShardedIvfPqIndex(IvfPqIndex):
         qq = self._normalize(q) if self.metric == Metric.COSINE else q
         bb = batch_bucket(b)
         qp = np.pad(qq, ((0, bb - b), (0, 0))) if bb != b else qq
+        dev = self._sync()
         vals, rows = self._device_scan(jnp.asarray(qp), top_k, options)
         vals = np.asarray(vals[:b])
-        rows = self._decode(np.asarray(rows[:b]))
+        enc = np.asarray(rows[:b])
+        rows = np.where(enc >= 0, dev["enc_to_perm"][np.maximum(enc, 0)], -1)
+        perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []
         for bi in range(b):
             hits = list(buf_hits[bi])
             for v, r in zip(vals[bi], rows[bi]):
                 if r < 0 or not np.isfinite(v):
                     continue
-                hits.append(SearchResult(self._perm_ids[int(r)], float(v)))
+                hits.append(SearchResult(perm_ids[int(r)], float(v)))
             hits.sort(key=lambda h: -h.score)
             out.append(hits[:top_k])
         return out

@@ -252,10 +252,13 @@ class PyropeEngine:
                     level = "L0"
                 if hits is None:  # L0.5 canonical alias (ref :240-243)
                     # tenant-scoped alias first; fall back to the global
-                    # namespace (admin-registered, no tenant in body)
+                    # namespace (admin-registered, no tenant in body) —
+                    # skip the second probe when tenant IS the global ns
                     canon = self.canonical.try_get_canonical(
                         key.cache_hash(), tenant=tenant
-                    ) or self.canonical.try_get_canonical(key.cache_hash())
+                    )
+                    if canon is None and tenant:
+                        canon = self.canonical.try_get_canonical(key.cache_hash())
                     if canon is not None:
                         hits = self.result_cache.try_get_aliased(tenant, index, canon)
                         if hits is not None:

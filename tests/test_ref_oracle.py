@@ -45,9 +45,11 @@ class TestIvfParity:
 
         idx = pt.IvfFlatIndex(DIM, "L2", nlist=50, nprobe=3)
         r_tpu = _tpu_recall(idx, base, queries, truth, SearchOptions())
-        # identical algorithm + seeds -> identical partition -> equal recall
+        # identical algorithm + seeds -> near-identical partition (fp
+        # arithmetic order differs) -> recall equal within the two-hit band
+        # AND never materially below the reference
         assert abs(r_tpu - r_ref) < 0.02, (r_tpu, r_ref)
-        assert r_tpu >= r_ref - 1e-9 or r_tpu >= r_ref - 0.02
+        assert r_tpu >= r_ref - 0.01, (r_tpu, r_ref)
 
     def test_high_nprobe_approaches_exact(self):
         base, queries, truth = _setup()
