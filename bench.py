@@ -62,6 +62,9 @@ BASELINES = {
     "ivf100k_np96": 673.2,
     "flat100k_b1024": 69.6,
     "ivf100k_b1024": 673.2,
+    "ivf100k_np96_b1024": 673.2,
+    "ivfpq100k_b1024": None,
+    "ivfpq100k_m16_b1024": None,
 }
 
 CONFIGS = {
@@ -105,6 +108,14 @@ CONFIGS = {
     # committed r1 rows were all dispatch-bound batch 64)
     "flat100k_b1024": ("FLAT", 100_000, 128, {"batch": 1024}),
     "ivf100k_b1024": ("IVF_FLAT", 100_000, 128, {"nlist": 100, "batch": 1024}),
+    # recall-matched headline at the device-throughput batch: the dense-mask
+    # scan makes wide probes run at flat-scan speed (see index/ivf_flat.py)
+    "ivf100k_np96_b1024": ("IVF_FLAT", 100_000, 128,
+                           {"nlist": 100, "nprobe": 96, "batch": 1024}),
+    "ivfpq100k_b1024": ("IVF_PQ", 100_000, 128,
+                        {"nlist": 100, "pq_m": 4, "ksub": 256, "batch": 1024}),
+    "ivfpq100k_m16_b1024": ("IVF_PQ", 100_000, 128,
+                            {"nlist": 100, "pq_m": 16, "ksub": 256, "batch": 1024}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "hnsw100k_clustered"}
@@ -334,8 +345,14 @@ def run_config(
 
     recall = recall_at_k(id_lists_to_rows(id_lists), truth, topk)
 
+    # the reference-semantics oracle is a per-query Python loop on the ONE
+    # host core — cap its query count so large-batch configs don't spend
+    # minutes of CPU re-proving the same partition (recall_at_10 above still
+    # uses the full batch)
+    n_oracle = min(len(gt_q), 256)
     recall_ref = (
-        oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx)
+        oracle_recall(algo, kwargs, base, gt_q[:n_oracle], truth[:n_oracle],
+                      topk, idx)
         if with_oracle else None
     )
 

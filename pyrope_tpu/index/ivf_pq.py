@@ -62,6 +62,25 @@ COARSE_SEED = 123  # ref: IvfPqVectorIndex.cs:67-70 coarse k-means seed 123
 DEFAULT_NPROBE = 3
 
 
+def compute_cdot(
+    codes: np.ndarray, crow_n: np.ndarray,
+    centroids: np.ndarray, codebooks: np.ndarray,
+) -> np.ndarray:
+    """cdot[n] = c·r̂ — the query-independent term of the dense ADC
+    decomposition (see ``adc_scan_dense``). Host-side, chunked to bound the
+    decode buffer. codes: [N, M] uint8, crow_n: [N] cluster per row."""
+    n = codes.shape[0]
+    out = np.zeros(n, np.float32)
+    m, _, sub = codebooks.shape
+    mi = np.arange(m)
+    for s in range(0, n, 262_144):
+        e = min(s + 262_144, n)
+        dec = codebooks[mi[None, :], codes[s:e].astype(np.int64)]  # [c, M, sub]
+        csub = centroids[crow_n[s:e]].reshape(e - s, m, sub)
+        out[s:e] = np.einsum("nms,nms->n", dec, csub)
+    return out
+
+
 @jax.jit
 def _residuals(x, cents, assign):
     """r = v - c on device (ref: IvfPqVectorIndex.cs:73-86 Parallel.For)."""
@@ -110,6 +129,114 @@ def adc_scan_probed_lists(
         rows = row_base + off[:, None] + j
         vals, gidx = merge_topk(vals, gidx, svals, rows, k)
     return vals, gidx
+
+
+def adc_scan_dense(
+    codes_all, alive, q, cents, codebooks, cdot, crow, pos, probe, eff,
+    *, k: int, metric: Metric,
+):
+    """Dense ADC scan: ONE shared-slab accumulate over every code row,
+    masked by probe membership — the IVF-PQ analog of the dense IVF-Flat
+    kernel (see pyrope_tpu/index/ivf_flat.py module docstring).
+
+    The per-probe residual table is decomposed so nothing depends on the
+    (query, probe) pair:
+
+      L2:  ‖(q−c) − r̂‖² = Σ_m‖q_m−r̂_m‖² + 2·c·r̂ + (‖c‖² − 2·q·c)
+           = T0sum[b,n]  +  2·cdot[n]  +  D2[b, crow[n]]
+           with T0 = adc_l2_table(q, cb) (residual-FREE, one per query),
+           cdot[n] = c·r̂ (build-time constant per row),
+           D2[b,c] = ‖c‖² − 2·q·c (one [B,K] matrix).
+      IP:  q·c + q·r̂ = QC[b, crow[n]] + IPsum[b,n].
+
+    Same scores as ``adc_scan_probed_lists`` up to fp summation order.
+    """
+    from pyrope_tpu.index.ivf_flat import dense_probe_mask
+    from pyrope_tpu.ops.pq import adc_accumulate_shared
+
+    kpad = cents.shape[0]
+    qdotc = jnp.dot(q, cents.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)        # [B, K]
+    if metric == Metric.L2:
+        t0 = adc_l2_table(q, codebooks)                         # residual-free
+        t0sum = adc_accumulate_shared(t0, codes_all)            # [B, N]
+        cc = jnp.sum(cents.astype(jnp.float32) ** 2, axis=-1)   # [K]
+        d2 = cc[None, :] - 2.0 * qdotc                          # [B, K]
+        scores = -(t0sum + 2.0 * cdot[None, :] + d2[:, crow])
+    else:
+        ip = adc_ip_table(q, codebooks)
+        scores = qdotc[:, crow] + adc_accumulate_shared(ip, codes_all)
+    mask = dense_probe_mask(probe, eff, crow, pos, alive, kpad)
+    scores = jnp.where(mask, scores, -jnp.inf)
+    vals, rows = jax.lax.top_k(scores, k)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    return vals, rows
+
+
+@functools.lru_cache(maxsize=None)
+def _ivfpq_dense_fn(
+    metric: Metric, k: int, nprobe: int,
+    probe_metric: Metric | None = None,
+):
+    """Dense-mask pure ADC (refine=0): one shared-slab accumulate + top-k."""
+
+    @jax.jit
+    def fn(cents, cvalid, codes_all, alive, offsets, lens, codebooks,
+           cdot, crow, pos, q, max_scans):
+        from pyrope_tpu.index.ivf_flat import rank_probes
+
+        probe, _, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        return adc_scan_dense(
+            codes_all, alive, q, cents, codebooks, cdot, crow, pos,
+            probe, eff, k=k, metric=metric,
+        )
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _ivfpq_dense_exact_fn(
+    metric: Metric, k: int, nprobe: int,
+    probe_metric: Metric | None = None,
+):
+    """Dense EXACT scan over the rerank slab (refine > 0).
+
+    When reranking is on, the raw-row slab is already device-resident — so
+    the dense path skips ADC entirely and exact-scores every probed row
+    directly (one matmul + mask + top-k). This strictly dominates
+    ADC-shortlist→rerank in BOTH recall (no shortlist misses) and speed: the
+    shortlist's wide top_k(R=refine·k) over [B, N] costs ~28x a top_k(k)
+    (measured 217 ms vs 7.8 ms at B=1024, N=100k on a v5e — selection, not
+    scoring, dominates). ADC still earns its keep in probe mode at large N
+    where the gathers touch M code bytes per row instead of 4·D.
+
+    Precision matches ``rerank_exact``: a bf16 slab is promoted to fp32 in
+    the matmul operand and the contraction runs fp32 HIGHEST, so the only
+    inexactness is the slab's own storage rounding (CLAUDE.md invariant).
+    """
+
+    @jax.jit
+    def fn(cents, cvalid, alive, offsets, lens, crow, pos, xraw, sqnorm,
+           q, max_scans):
+        from pyrope_tpu.index.ivf_flat import dense_probe_mask, rank_probes
+        from pyrope_tpu.ops.distance import score_matrix
+
+        probe, _, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
+        scores = score_matrix(q, xraw.astype(jnp.float32), metric,
+                              x_sqnorm=sqnorm)
+        scores = jnp.where(mask, scores, -jnp.inf)
+        vals, rows = jax.lax.top_k(scores, k)
+        rows = jnp.where(jnp.isfinite(vals), rows, -1)
+        return vals, rows
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,6 +299,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         refine: int = 64,
         refine_storage: str = "bf16",  # bf16 | fp32
         train_dtype: Optional[str] = None,
+        scan_mode: str = "auto",
     ):
         """``refine``: exact-rerank shortlist factor — ADC selects
         ``refine * top_k`` candidates whose raw rows are gathered and
@@ -181,7 +309,11 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         0.92x the IVF-Flat recall at equal nprobe (vs 0.14x without rerank);
         the gather cost is negligible next to the list scans.
         ``refine_storage`` sets the device dtype of the raw slab kept for
-        reranking."""
+        reranking. ``scan_mode``: 'auto' | 'dense' | 'probe' — dense runs
+        one shared-slab ADC pass masked by probe membership (see
+        ``adc_scan_dense``), probe slices each probed list per query."""
+        if scan_mode not in ("auto", "dense", "probe"):
+            raise ValueError(f"scan_mode must be auto|dense|probe, got {scan_mode!r}")
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.nlist = int(nlist)
@@ -192,6 +324,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             raise ValueError(f"refine_storage must be bf16|fp32, got {refine_storage}")
         self.refine_storage = refine_storage
         self.train_dtype = train_dtype  # training matmuls only (see IvfFlatIndex)
+        self.scan_mode = scan_mode
         self.pq = ProductQuantizer(m=int(pq_m), ksub=int(ksub), dim=self.dim)
 
         self._buffer = FlatIndex(dim, self.metric)
@@ -342,10 +475,23 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         lens = np.zeros(kpad, np.int32)
         offs[:kc] = self._offsets
         lens[:kc] = self._lens
+        # dense-scan tables: row -> cluster, row -> within-list position,
+        # and the query-independent decomposition constant cdot[n] = c·r̂
+        # (see adc_scan_dense)
+        crow = np.full(npad, kpad - 1, np.int32)
+        pos = np.zeros(npad, np.int32)
+        cdot = np.zeros(npad, np.float32)
+        if n:
+            crow[:n] = np.repeat(np.arange(kc, dtype=np.int32), self._lens)
+            pos[:n] = np.arange(n, dtype=np.int32) - self._offsets[crow[:n]]
+            if self.pq.trained and self._centroids is not None:
+                cdot[:n] = compute_cdot(
+                    self._codes, crow[:n], self._centroids, self.pq.codebooks
+                )
         return {
             "k": kc, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,
             "alive": alive, "cents": cents, "cvalid": cvalid,
-            "offs": offs, "lens": lens,
+            "offs": offs, "lens": lens, "crow": crow, "pos": pos, "cdot": cdot,
         }
 
     def _dev_common(self, t: dict) -> dict:
@@ -356,6 +502,9 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             "offsets": jnp.asarray(t["offs"]),
             "lens": jnp.asarray(t["lens"]),
             "codebooks": jnp.asarray(self.pq.codebooks),
+            "crow": jnp.asarray(t["crow"]),
+            "pos": jnp.asarray(t["pos"]),
+            "cdot": jnp.asarray(t["cdot"]),
             "l_pad": t["l_pad"],
             "k_actual": t["k"],
             # consistent row->id table for this slab (see IvfFlatIndex note)
@@ -404,8 +553,32 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
     def _run_device(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
         """Dispatch the jitted query: pure ADC, or ADC-shortlist + exact
         rerank when ``refine`` is enabled."""
+        from pyrope_tpu.index.ivf_flat import pick_scan_mode
+
         search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        mode = pick_scan_mode(
+            self.scan_mode, dev["codes"].shape[0], nprobe, dev["l_pad"],
+            batch=q.shape[0],
+        )
+        if mode == "dense":
+            if self.refine > 0:
+                fn = _ivfpq_dense_exact_fn(
+                    search_metric, top_k, nprobe, probe_metric=probe_metric,
+                )
+                return fn(
+                    dev["cents"], dev["cvalid"], dev["alive"],
+                    dev["offsets"], dev["lens"], dev["crow"], dev["pos"],
+                    dev["xraw"], dev["xsqnorm"], q, device_i32(ms),
+                )
+            fn = _ivfpq_dense_fn(
+                search_metric, top_k, nprobe, probe_metric=probe_metric
+            )
+            return fn(
+                dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
+                dev["offsets"], dev["lens"], dev["codebooks"],
+                dev["cdot"], dev["crow"], dev["pos"], q, device_i32(ms),
+            )
         if self.refine > 0:
             r = max(top_k, min(self.refine * top_k, self._codes.shape[0] or top_k))
             fn = _ivfpq_refine_search_fn(
@@ -532,6 +705,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             "seed": self.seed,
             "refine": self.refine,
             "refine_storage": self.refine_storage,
+            "scan_mode": self.scan_mode,
         })
         np.savez_compressed(
             path,
@@ -561,6 +735,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             self.seed = int(meta.get("seed", COARSE_SEED))
             self.refine = int(meta.get("refine", self.refine))
             self.refine_storage = str(meta.get("refine_storage", self.refine_storage))
+            self.scan_mode = str(meta.get("scan_mode", self.scan_mode))
             self._built = bool(meta["built"])
             self.pq = ProductQuantizer(m=int(meta["pq_m"]), ksub=int(meta["ksub"]), dim=self.dim)
             cb = np.asarray(z["codebooks"], np.float32)

@@ -276,3 +276,32 @@ def adc_accumulate(table: jax.Array, codes: jax.Array, *, impl: str = "onehot") 
         )
         acc = part if acc is None else acc + part
     return acc
+
+
+def adc_accumulate_shared(table: jax.Array, codes_all: jax.Array) -> jax.Array:
+    """ADC accumulation against ONE shared code slab (dense scan).
+
+    table: [B, M, ksub] fp32; codes_all: [N, M] uint8 — the same rows for
+    every query (unlike ``adc_accumulate``'s per-query [B, L, M] blocks).
+    Returns [B, N] = Σ_m table[b, m, codes_all[n, m]].
+
+    Because the one-hot is per-row (not per-(query, row)) each subspace is
+    a single [B, ksub] × [ksub, N] MXU matmul over the whole slab — this is
+    what makes the dense IVF-PQ scan one streaming pass instead of B
+    replicated gathers. fp32 HIGHEST keeps it bit-faithful to a gather
+    (one-hot rows select exactly one fp32 table entry).
+    """
+    m = codes_all.shape[1]
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, table.shape[2]), 1)  # [1, ksub]
+    acc = None
+    for mi in range(m):
+        oh = (codes_all[:, mi].astype(jnp.int32)[:, None] == kiota).astype(
+            jnp.float32
+        )                                               # [N, ksub]
+        part = jnp.einsum(
+            "bk,nk->bn", table[:, mi, :], oh,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        acc = part if acc is None else acc + part
+    return acc

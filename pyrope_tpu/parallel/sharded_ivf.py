@@ -27,7 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyrope_tpu.index.ivf_flat import IvfFlatIndex, rank_probes, scan_probed_lists
+from pyrope_tpu.index.ivf_flat import (
+    IvfFlatIndex,
+    dense_probe_mask,
+    pick_scan_mode,
+    rank_probes,
+    scan_probed_lists,
+)
+from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.scalars import device_i32
 from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
 from pyrope_tpu.types import (
@@ -126,6 +133,58 @@ def make_sharded_ivf_search(
     return jax.jit(fn)
 
 
+def make_sharded_ivf_dense_search(
+    mesh: Mesh, metric: Metric, k: int, nprobe: int,
+    stride: int, compute: str | None,
+):
+    """shard_map'd DENSE scan: each shard runs one full matmul over its own
+    cluster-major slab masked by probe membership (see
+    pyrope_tpu/index/ivf_flat.py module docstring), then the [B, k] local
+    winners ride the same ICI all_gather merge as the sparse kernel. The
+    local CSR (offsets/lens/crow/pos) is per-shard, so the mask and the
+    max_scans budget apply to the shard's own slice of every list."""
+    cdtype = None if compute is None else jnp.dtype(compute)
+    two_d = BATCH_AXIS in mesh.axis_names
+
+    def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, crow, pos,
+              q, ms_local):
+        xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
+        offsets, lens, crow, pos = offsets[0], lens[0], crow[0], pos[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        probe, _, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, metric, cdtype
+        )
+        mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
+        scores = score_matrix(q, xperm, metric, x_sqnorm=sqnorm,
+                              compute_dtype=cdtype)
+        scores = jnp.where(mask, scores, -jnp.inf)
+        vals, lrows = jax.lax.top_k(scores, k)
+        gidx = jnp.where(jnp.isfinite(vals), shard * stride + lrows, -1)
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos_k = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None),
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            q_spec, P(),
+        ),
+        out_specs=(out_one, out_one),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class ShardedIvfFlatIndex(IvfFlatIndex):
     """IvfFlatIndex whose built slab is list-sliced over a 1-D mesh.
 
@@ -143,6 +202,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         nprobe: int = 3,
         compute_dtype: Optional[str] = None,
         seed: int = 42,
+        scan_mode: str = "auto",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         # rows are dealt over the DATA axis only (a 2-D mesh replicates the
@@ -150,7 +210,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         self._ndev = int(self.mesh.shape[DATA_AXIS])
         super().__init__(
             dim, metric, nlist=nlist, nprobe=nprobe,
-            compute_dtype=compute_dtype, seed=seed,
+            compute_dtype=compute_dtype, seed=seed, scan_mode=scan_mode,
         )
         self._fn_cache: dict = {}
         self._enc_to_perm: Optional[np.ndarray] = None   # encoded -> perm row
@@ -183,6 +243,21 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             enc_to_perm[s * stride + c : s * stride + c + m] = rows
         sq = np.einsum("snd,snd->sn", xp, xp).astype(np.float32)
 
+        # per-shard dense-scan tables (each local slab is cluster-major by
+        # cursor construction in roundrobin_layout)
+        crow_l = np.full((nd, cap_local), kpad - 1, np.int32)
+        pos_l = np.zeros((nd, cap_local), np.int32)
+        for s in range(nd):
+            tot = int(local_lens[s].sum())
+            if tot:
+                crow_l[s, :tot] = np.repeat(
+                    np.arange(kpad, dtype=np.int32), local_lens[s]
+                )
+                pos_l[s, :tot] = (
+                    np.arange(tot, dtype=np.int32)
+                    - local_offsets[s][crow_l[s, :tot]]
+                )
+
         cents = np.zeros((kpad, self.dim), np.float32)
         cvalid = np.zeros(kpad, bool)
         if self._centroids is not None:
@@ -200,6 +275,8 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             "alive": jax.device_put(jnp.asarray(alive), row2),
             "offsets": jax.device_put(jnp.asarray(local_offsets), row2),
             "lens": jax.device_put(jnp.asarray(local_lens), row2),
+            "crow": jax.device_put(jnp.asarray(crow_l), row2),
+            "pos": jax.device_put(jnp.asarray(pos_l), row2),
             "l_pad": l_pad,
             "stride": stride,
             "k_actual": k,
@@ -232,13 +309,30 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             ms_local = dev["stride"]
         else:
             ms_local = (options.max_scans + self._ndev - 1) // self._ndev
+        # mode decided on per-shard local volumes (each shard scans its own
+        # slab; stride ≈ local rows)
+        mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
+                              dev["l_pad"], batch=q.shape[0])
         # metric is part of the key: load() may swap self.metric in place
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric)
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric, mode)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._fn_cache[key] = make_sharded_ivf_search(
-                self.mesh, self.metric, top_k, nprobe, dev["l_pad"],
-                dev["stride"], self.compute_dtype,
+            if mode == "dense":
+                fn = make_sharded_ivf_dense_search(
+                    self.mesh, self.metric, top_k, nprobe,
+                    dev["stride"], self.compute_dtype,
+                )
+            else:
+                fn = make_sharded_ivf_search(
+                    self.mesh, self.metric, top_k, nprobe, dev["l_pad"],
+                    dev["stride"], self.compute_dtype,
+                )
+            self._fn_cache[key] = fn
+        if mode == "dense":
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
+                dev["pos"], q, device_i32(ms_local),
             )
         return fn(
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],

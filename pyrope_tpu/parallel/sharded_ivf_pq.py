@@ -20,8 +20,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyrope_tpu.index.ivf_flat import rank_probes
-from pyrope_tpu.index.ivf_pq import IvfPqIndex, adc_scan_probed_lists
+from pyrope_tpu.index.ivf_flat import pick_scan_mode, rank_probes
+from pyrope_tpu.index.ivf_pq import (
+    IvfPqIndex,
+    adc_scan_dense,
+    adc_scan_probed_lists,
+    compute_cdot,
+)
 from pyrope_tpu.ops.scalars import device_i32
 from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
 from pyrope_tpu.parallel.sharded_ivf import roundrobin_layout
@@ -90,6 +95,69 @@ def make_sharded_ivfpq_search(
     return jax.jit(fn)
 
 
+def make_sharded_ivfpq_dense_search(
+    mesh: Mesh, metric: Metric, k: int, nprobe: int,
+    stride: int, probe_metric: Metric, refine_r: int = 0,
+):
+    """shard_map'd DENSE scan. With ``refine_r`` == 0: one shared-slab ADC
+    accumulate per shard (pyrope_tpu/index/ivf_pq.py adc_scan_dense) masked
+    by the shard's local CSR. With ``refine_r`` > 0 the raw rerank slab is
+    resident, so each shard exact-scores ALL its probed rows directly (see
+    _ivfpq_dense_exact_fn — dominates ADC-shortlist→rerank in recall and
+    speed; the wide top_k(R) is what made the shortlist slow). Then the
+    [B, k] ICI all_gather merge."""
+
+    def local(cents, cvalid, codes, alive, offsets, lens, codebooks,
+              cdot, crow, pos, xraw, xsq, q, ms_local):
+        from pyrope_tpu.index.ivf_flat import dense_probe_mask
+        from pyrope_tpu.ops.distance import score_matrix
+
+        codes, alive = codes[0], alive[0]
+        offsets, lens = offsets[0], lens[0]
+        cdot, crow, pos = cdot[0], crow[0], pos[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        probe, _, eff = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, probe_metric, None
+        )
+        if refine_r:
+            mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
+            scores = score_matrix(q, xraw[0].astype(jnp.float32), metric,
+                                  x_sqnorm=xsq[0])
+            scores = jnp.where(mask, scores, -jnp.inf)
+            vals, lid = jax.lax.top_k(scores, k)
+            lid = jnp.where(jnp.isfinite(vals), lid, -1)
+            gidx = jnp.where(lid >= 0, shard * stride + lid, -1)
+        else:
+            vals, lid = adc_scan_dense(
+                codes, alive, q, cents, codebooks, cdot, crow, pos,
+                probe, eff, k=k, metric=metric,
+            )
+            gidx = jnp.where(lid >= 0, shard * stride + lid, -1)
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos_k = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None),
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(None, None, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None),
+            P(None, None), P(),
+        ),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class ShardedIvfPqIndex(IvfPqIndex):
     """IvfPqIndex whose code slab is list-sliced over a 1-D mesh."""
 
@@ -105,12 +173,13 @@ class ShardedIvfPqIndex(IvfPqIndex):
         nprobe: int = 3,
         seed: int = 123,
         refine: int = 64,
+        scan_mode: str = "auto",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = int(self.mesh.shape[DATA_AXIS])  # rows deal over DATA only
         super().__init__(
             dim, metric, nlist=nlist, pq_m=pq_m, ksub=ksub,
-            nprobe=nprobe, seed=seed, refine=refine,
+            nprobe=nprobe, seed=seed, refine=refine, scan_mode=scan_mode,
         )
         self._fn_cache: dict = {}
         self._enc_to_perm: Optional[np.ndarray] = None
@@ -140,12 +209,39 @@ class ShardedIvfPqIndex(IvfPqIndex):
             np.zeros((nd, cap_local, self.dim), np.float32)
             if self.refine > 0 else None
         )
+        # per-shard dense-scan tables (local slabs are cluster-major by
+        # cursor construction) + the query-independent cdot constants
+        crow_l = np.full((nd, cap_local), kpad - 1, np.int32)
+        pos_l = np.zeros((nd, cap_local), np.int32)
+        for s in range(nd):
+            tot = int(local_lens[s].sum())
+            if tot:
+                crow_l[s, :tot] = np.repeat(
+                    np.arange(kpad, dtype=np.int32), local_lens[s]
+                )
+                pos_l[s, :tot] = (
+                    np.arange(tot, dtype=np.int32)
+                    - local_offsets[s][crow_l[s, :tot]]
+                )
+        cdot_l = np.zeros((nd, cap_local), np.float32)
+        n_total = self._codes.shape[0]
+        if n_total and self.pq.trained and self._centroids is not None:
+            crow_global = np.repeat(
+                np.arange(k, dtype=np.int32), self._lens
+            )
+            cdot_global = compute_cdot(
+                self._codes, crow_global, self._centroids, self.pq.codebooks
+            )
+        else:
+            cdot_global = None
         for s, c, rows in placements:
             n_rows = len(rows)
             codes[s, c : c + n_rows] = self._codes[rows]
             alive[s, c : c + n_rows] = self._alive[rows]
             if xraw is not None:
                 xraw[s, c : c + n_rows] = self._xperm[rows]
+            if cdot_global is not None:
+                cdot_l[s, c : c + n_rows] = cdot_global[rows]
             enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
 
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -169,6 +265,9 @@ class ShardedIvfPqIndex(IvfPqIndex):
             "alive": jax.device_put(jnp.asarray(alive), row2),
             "offsets": jax.device_put(jnp.asarray(local_offsets), row2),
             "lens": jax.device_put(jnp.asarray(local_lens), row2),
+            "crow": jax.device_put(jnp.asarray(crow_l), row2),
+            "pos": jax.device_put(jnp.asarray(pos_l), row2),
+            "cdot": jax.device_put(jnp.asarray(cdot_l), row2),
             "codebooks": jnp.asarray(cbs),
             "l_pad": l_pad,
             "stride": stride,
@@ -219,13 +318,30 @@ class ShardedIvfPqIndex(IvfPqIndex):
             max(top_k, min(self.refine * top_k, dev["stride"]))
             if self.refine > 0 else 0
         )
+        mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
+                              dev["l_pad"], batch=q.shape[0])
         # metric is part of the key: load() may swap self.metric in place
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric, refine_r)
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric,
+               refine_r, mode)
         fn = self._fn_cache.get(key)
         if fn is None:
-            fn = self._fn_cache[key] = make_sharded_ivfpq_search(
-                self.mesh, search_metric, top_k, nprobe, dev["l_pad"],
-                dev["stride"], probe_metric, refine_r,
+            if mode == "dense":
+                fn = make_sharded_ivfpq_dense_search(
+                    self.mesh, search_metric, top_k, nprobe,
+                    dev["stride"], probe_metric, refine_r,
+                )
+            else:
+                fn = make_sharded_ivfpq_search(
+                    self.mesh, search_metric, top_k, nprobe, dev["l_pad"],
+                    dev["stride"], probe_metric, refine_r,
+                )
+            self._fn_cache[key] = fn
+        if mode == "dense":
+            return fn(
+                dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],
+                dev["offsets"], dev["lens"], dev["codebooks"],
+                dev["cdot"], dev["crow"], dev["pos"],
+                dev["xraw"], dev["xsqnorm"], q, device_i32(ms_local),
             )
         return fn(
             dev["cents"], dev["cvalid"], dev["codes"], dev["alive"],

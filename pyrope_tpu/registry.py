@@ -50,13 +50,13 @@ def create_index(config: IndexConfig) -> DeltaIndex:
     elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(
             config.dim, config.metric, nlist=p.nlist, pq_m=p.pq_m, ksub=p.k,
-            nprobe=p.nprobe, refine=p.refine,
+            nprobe=p.nprobe, refine=p.refine, scan_mode=p.scan_mode,
         )
     elif algo == "FLAT":
         tail = FlatIndex(config.dim, config.metric)
     else:  # IVF_FLAT is the reference default
         tail = IvfFlatIndex(config.dim, config.metric, nlist=p.nlist,
-                            nprobe=p.nprobe)
+                            nprobe=p.nprobe, scan_mode=p.scan_mode)
     return DeltaIndex(head, tail)
 
 

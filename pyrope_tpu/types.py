@@ -86,6 +86,7 @@ class IndexParams:
     pq_m: int = 4               # PQ subspaces (ref IVF_PQ config m=4)
     nprobe: int = 3             # IVF probes (ref CombineNProbe=3)
     refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
+    scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -110,6 +111,11 @@ class IndexParams:
                 p.nprobe = int(val)
             elif kk in ("refine",):
                 p.refine = int(val)
+            elif kk in ("scan_mode", "scanmode"):
+                sm = str(val).lower()
+                if sm not in ("auto", "dense", "probe"):
+                    raise ValueError(f"scan_mode must be auto|dense|probe, got {val!r}")
+                p.scan_mode = sm
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p

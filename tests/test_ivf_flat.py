@@ -118,3 +118,85 @@ def test_cosine_ivf():
     hits = idx.search(base[123] * 5.0, 1)  # scale-invariant
     assert hits[0].id == "123"
     assert hits[0].score == pytest.approx(1.0, abs=1e-3)
+
+
+# ---- dense-mask scan kernel parity -----------------------------------------
+
+
+def _hit_ids(results):
+    return [[h.id for h in hits] for hits in results]
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
+def test_dense_and_probe_scan_identical(metric):
+    """The dense full-matmul kernel and the sparse probe-slice kernel must
+    return identical hit sets at every nprobe (same probe semantics)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((800, 16)).astype(np.float32)
+    q = rng.standard_normal((9, 16)).astype(np.float32)
+    hits = {}
+    for mode in ("dense", "probe"):
+        idx = IvfFlatIndex(16, metric, nlist=10, scan_mode=mode)
+        idx.add_batch([str(i) for i in range(800)], x)
+        idx.build()
+        hits[mode] = {
+            np_: _hit_ids(idx.search_batch(q, 5, SearchOptions(nprobe=np_)))
+            for np_ in (1, 3, 10)
+        }
+    assert hits["dense"] == hits["probe"]
+
+
+def test_dense_scan_respects_max_scans_budget():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((600, 8)).astype(np.float32)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    out = {}
+    for mode in ("dense", "probe"):
+        idx = IvfFlatIndex(8, "L2", nlist=6, scan_mode=mode)
+        idx.add_batch([str(i) for i in range(600)], x)
+        idx.build()
+        out[mode] = _hit_ids(
+            idx.search_batch(q, 10, SearchOptions(nprobe=6, max_scans=37))
+        )
+    assert out["dense"] == out["probe"]
+
+
+def test_dense_scan_after_delete():
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((300, 8)).astype(np.float32)
+    idx = IvfFlatIndex(8, "L2", nlist=5, scan_mode="dense")
+    idx.add_batch([str(i) for i in range(300)], x)
+    idx.build()
+    top = idx.search_batch(x[17], 1)[0][0]
+    assert top.id == "17"
+    idx.delete("17")
+    hits = idx.search_batch(x[17], 5, SearchOptions(nprobe=5))[0]
+    assert "17" not in [h.id for h in hits]
+
+
+def test_pick_scan_mode_auto_thresholds():
+    from pyrope_tpu.index.ivf_flat import pick_scan_mode
+
+    assert pick_scan_mode("dense", 10**9, 1, 1) == "dense"
+    assert pick_scan_mode("probe", 10, 1, 1) == "probe"
+    # small slab -> dense
+    assert pick_scan_mode("auto", 100_000, 3, 1152) == "dense"
+    # huge slab, tiny probed volume -> probe
+    assert pick_scan_mode("auto", 8_000_000, 3, 1152) == "probe"
+    # huge slab but probed volume rivals a full scan -> dense
+    assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=64) == "dense"
+    # the sparse gather blowup is PER QUERY: a bigger batch tips wide-probe
+    # configs to dense (one slab pass amortizes over ~256 queries)
+    assert pick_scan_mode("auto", 1_000_000, 96, 1408, batch=8) == "probe"
+    assert pick_scan_mode("auto", 1_000_000, 96, 1408, batch=64) == "dense"
+
+
+def test_scan_mode_snapshot_roundtrip(tmp_path):
+    idx = IvfFlatIndex(8, "L2", nlist=4, scan_mode="dense")
+    idx.add_batch([str(i) for i in range(50)], synthetic(50, 8))
+    idx.build()
+    p = str(tmp_path / "ivf.npz")
+    idx.snapshot(p)
+    idx2 = IvfFlatIndex(8, "L2")
+    idx2.load(p)
+    assert idx2.scan_mode == "dense"

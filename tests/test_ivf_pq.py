@@ -159,3 +159,78 @@ class TestExactRerank:
         assert mb["refine_slab"] > 0
         idx2, _ = built_index(n=500, nlist=5, refine=0)
         assert "refine_slab" not in idx2.memory_bytes()
+
+
+# ---- dense-mask ADC kernel parity -------------------------------------------
+
+
+def _ids(results):
+    return [[h.id for h in hits] for hits in results]
+
+
+@pytest.mark.parametrize("metric", ["L2", "IP", "COSINE"])
+@pytest.mark.parametrize("refine", [0, 8])
+def test_dense_adc_matches_probe_adc(metric, refine):
+    """refine=0: dense shared-slab ADC (cluster-decomposed tables) must
+    reproduce the probe-sliced ADC scores up to fp summation order.
+    refine>0: the dense path exact-scores ALL probed rows, so it must
+    DOMINATE the probe path's ADC-shortlist→rerank position-by-position
+    (it can only find equal-or-closer hits)."""
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((900, 16)).astype(np.float32)
+    q = rng.standard_normal((8, 16)).astype(np.float32)
+    res = {}
+    for mode in ("dense", "probe"):
+        idx = IvfPqIndex(
+            16, metric, nlist=8, pq_m=4, ksub=16, refine=refine, scan_mode=mode
+        )
+        idx.add_batch([str(i) for i in range(900)], x)
+        idx.build()
+        res[mode] = idx.search_batch(q, 10, SearchOptions(nprobe=4))
+    for d_hits, p_hits in zip(res["dense"], res["probe"]):
+        d_ids, p_ids = {h.id for h in d_hits}, {h.id for h in p_hits}
+        overlap = len(d_ids & p_ids) / max(len(p_ids), 1)
+        assert overlap >= 0.8, (sorted(d_ids), sorted(p_ids))
+        for dh, ph in zip(d_hits, p_hits):
+            if refine > 0:
+                assert dh.score >= ph.score - 1e-3  # dense can only improve
+            else:
+                assert dh.score == pytest.approx(ph.score, rel=1e-4, abs=1e-3)
+
+
+def test_dense_adc_max_scans_and_delete():
+    """Pure-ADC (refine=0) dense vs probe must produce identical hit sets
+    under a max_scans budget and after deletes."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((640, 8)).astype(np.float32)
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    out = {}
+    for mode in ("dense", "probe"):
+        idx = IvfPqIndex(8, "L2", nlist=5, pq_m=2, ksub=16, refine=0,
+                         scan_mode=mode)
+        idx.add_batch([str(i) for i in range(640)], x)
+        idx.build()
+        idx.delete("3")
+        out[mode] = _ids(
+            idx.search_batch(q, 5, SearchOptions(nprobe=5, max_scans=55))
+        )
+    assert out["dense"] == out["probe"]
+    assert all("3" not in hits for hits in out["dense"])
+
+
+def test_dense_exact_scan_respects_delete_and_budget():
+    """refine>0 dense path (exact scan of the rerank slab) must honor
+    tombstones and the max_scans budget."""
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((400, 8)).astype(np.float32)
+    idx = IvfPqIndex(8, "L2", nlist=4, pq_m=2, ksub=16, refine=8,
+                     scan_mode="dense")
+    idx.add_batch([str(i) for i in range(400)], x)
+    idx.build()
+    assert idx.search_batch(x[7], 1)[0][0].id == "7"
+    idx.delete("7")
+    hits = idx.search_batch(x[7], 5, SearchOptions(nprobe=4))[0]
+    assert "7" not in [h.id for h in hits]
+    # a 1-row budget can return at most nprobe hits per query
+    tiny = idx.search_batch(x[8], 10, SearchOptions(nprobe=4, max_scans=1))[0]
+    assert len(tiny) <= 4

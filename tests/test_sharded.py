@@ -384,3 +384,93 @@ class TestTwoDMeshIvf:
             assert [h.id for h in a] == [h.id for h in b]
             for ha, hb in zip(a, b):
                 assert abs(ha.score - hb.score) < 1e-3
+
+
+class TestShardedDenseScan:
+    """Both sharded scan kernels (dense full-matmul-masked and sparse
+    probe-sliced) must match the single-chip index per mode."""
+
+    def _data(self, n=3000, dim=16, nq=6, seed=3):
+        rng = np.random.default_rng(seed)
+        base = rng.random((n, dim), dtype=np.float32)
+        q = rng.random((nq, dim), dtype=np.float32)
+        return base, [str(i) for i in range(n)], q
+
+    @pytest.mark.parametrize("mode", ["dense", "probe"])
+    def test_sharded_ivf_mode_matches_single(self, mode):
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        base, ids, q = self._data()
+        ref = pt.IvfFlatIndex(16, "L2", nlist=12, scan_mode=mode)
+        ref.add_batch(ids, base)
+        ref.build()
+        sh = ShardedIvfFlatIndex(16, "L2", mesh=make_mesh(8), nlist=12,
+                                 scan_mode=mode)
+        sh.add_batch(ids, base)
+        sh.build()
+        for nprobe in (2, 12):
+            opts = pt.SearchOptions(nprobe=nprobe)
+            for a, b in zip(ref.search_batch(q, 10, opts),
+                            sh.search_batch(q, 10, opts)):
+                assert [h.id for h in a] == [h.id for h in b]
+
+    @pytest.mark.parametrize("mode", ["dense", "probe"])
+    def test_sharded_ivf_max_scans_local_budget(self, mode):
+        """max_scans splits across shards (ceil(ms/ndev) per shard); dense
+        and probe sharded kernels must agree with each other."""
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        base, ids, q = self._data(seed=4)
+        out = {}
+        for m in ("dense", "probe"):
+            sh = ShardedIvfFlatIndex(16, "L2", mesh=make_mesh(8), nlist=12,
+                                     scan_mode=m)
+            sh.add_batch(ids, base)
+            sh.build()
+            opts = pt.SearchOptions(nprobe=12, max_scans=160)
+            out[m] = [[h.id for h in hits]
+                      for hits in sh.search_batch(q, 10, opts)]
+        assert out["dense"] == out["probe"]
+
+    @pytest.mark.parametrize("refine", [0, 8])
+    def test_sharded_ivfpq_dense_matches_probe(self, refine):
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        base, ids, q = self._data(n=2600, seed=5)
+        res = {}
+        for m in ("dense", "probe"):
+            sh = ShardedIvfPqIndex(16, "L2", mesh=make_mesh(8), nlist=8,
+                                   pq_m=4, ksub=16, refine=refine, scan_mode=m)
+            sh.add_batch(ids, base)
+            sh.build()
+            res[m] = sh.search_batch(q, 10, pt.SearchOptions(nprobe=4))
+        for d_hits, p_hits in zip(res["dense"], res["probe"]):
+            d_ids, p_ids = {h.id for h in d_hits}, {h.id for h in p_hits}
+            assert len(d_ids & p_ids) / max(len(p_ids), 1) >= 0.8
+            for dh, ph in zip(d_hits, p_hits):
+                if refine > 0:
+                    assert dh.score >= ph.score - 1e-3  # dense exact-scan dominates
+                else:
+                    assert dh.score == pytest.approx(ph.score, rel=1e-4, abs=1e-3)
+
+    def test_sharded_ivfpq_dense_matches_single_chip(self):
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfPqIndex, make_mesh
+
+        base, ids, q = self._data(n=2600, seed=6)
+        ref = pt.IvfPqIndex(16, "L2", nlist=8, pq_m=4, ksub=16, refine=8,
+                            scan_mode="dense")
+        ref.add_batch(ids, base)
+        ref.build()
+        sh = ShardedIvfPqIndex(16, "L2", mesh=make_mesh(8), nlist=8,
+                               pq_m=4, ksub=16, refine=8, scan_mode="dense")
+        sh.add_batch(ids, base)
+        sh.build()
+        opts = pt.SearchOptions(nprobe=8)
+        for a, b in zip(ref.search_batch(q, 10, opts),
+                        sh.search_batch(q, 10, opts)):
+            a_ids, b_ids = {h.id for h in a}, {h.id for h in b}
+            assert len(a_ids & b_ids) / max(len(a_ids), 1) >= 0.9
