@@ -65,6 +65,7 @@ BASELINES = {
     "ivf100k_np96_b1024": 673.2,
     "ivfpq100k_b1024": None,
     "ivfpq100k_m16_b1024": None,
+    "ivf1m_b1024": None,  # reference DNF'd at 1M
 }
 
 CONFIGS = {
@@ -116,6 +117,11 @@ CONFIGS = {
                         {"nlist": 100, "pq_m": 4, "ksub": 256, "batch": 1024}),
     "ivfpq100k_m16_b1024": ("IVF_PQ", 100_000, 128,
                             {"nlist": 100, "pq_m": 16, "ksub": 256, "batch": 1024}),
+    # 1M at the serving batch: auto scan_mode keeps nprobe=3 on the sparse
+    # probe kernel (measured 41k vs dense 16k QPS — see
+    # docs/benchmarks/20260816_dense_mask_kernels.md)
+    "ivf1m_b1024": ("IVF_FLAT", 1_000_000, 128,
+                    {"nlist": 1000, "train_dtype": "bfloat16", "batch": 1024}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "hnsw100k_clustered"}
