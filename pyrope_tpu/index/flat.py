@@ -33,6 +33,7 @@ import numpy as np
 from pyrope_tpu.index.base import VectorIndex
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.topk import masked_topk
+from pyrope_tpu.ops.transfer import upload_rows
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     IndexStats,
@@ -304,7 +305,7 @@ class FlatIndex(VectorIndex):
             deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
             sq_approx = np.einsum("nd,nd->n", deq, deq).astype(np.float32)
             self._dev = {
-                "codes": jnp.asarray(codes),
+                "codes": upload_rows(codes),
                 "mins": jnp.asarray(mins.astype(np.float32)),
                 "scales": jnp.asarray(scales.astype(np.float32)),
                 "sqnorm": jnp.asarray(sq_approx),
@@ -313,7 +314,7 @@ class FlatIndex(VectorIndex):
         else:
             dt = _STORAGE_DTYPES[self.storage]
             self._dev = {
-                "vecs": jnp.asarray(vf, dtype=dt),
+                "vecs": upload_rows(vf, dtype=dt),
                 "sqnorm": jnp.asarray(sqnorm),
                 "alive": jnp.asarray(alive),
             }
@@ -486,7 +487,18 @@ class FlatIndex(VectorIndex):
         return self._cap
 
     def live_vectors(self) -> tuple[list[str], np.ndarray]:
-        """(ids, vectors) of live rows, in insertion order."""
-        rows = [r for r in range(self._count) if self._alive[r]]
-        ids = [self._row_ids[r] for r in rows]
-        return ids, self._vecs[rows] if rows else np.zeros((0, self.dim), np.float32)
+        """(ids, vectors) of live rows, in insertion order.
+
+        When every row is live (the bulk-load-then-build case) the vectors
+        are a read-only VIEW of the internal slab, not a copy — on this
+        host, first-touch page faults make a fresh 512 MB copy cost tens
+        of seconds (see ops/transfer.py). Callers must not mutate it."""
+        n = self._count
+        if n == 0:
+            return [], np.zeros((0, self.dim), np.float32)
+        alive = self._alive[:n]
+        if alive.all():
+            return list(self._row_ids[:n]), self._vecs[:n]
+        rows = np.flatnonzero(alive)
+        ids = [self._row_ids[int(r)] for r in rows]
+        return ids, self._vecs[rows]

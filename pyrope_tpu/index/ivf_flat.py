@@ -48,6 +48,7 @@ from pyrope_tpu.index.flat import FlatIndex
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.kmeans import kmeans_build
 from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.ops.transfer import upload_rows
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     IndexStats,
@@ -237,18 +238,62 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         self.scan_mode = scan_mode
 
         self._buffer = FlatIndex(dim, self.metric, compute_dtype=compute_dtype)
-        # built main slab (host truth)
+        # built main slab (host truth). The permuted host slab and the
+        # id->row dict are materialized LAZILY from (_xbase, _order): at 1M
+        # rows the permute alone costs ~15-40 s in first-touch page faults
+        # (see ops/transfer.py) and pure-serving builds never need either —
+        # only snapshot/scan/rebuild/mutation paths do.
         self._built = False
         self._centroids: Optional[np.ndarray] = None   # [K, D]
-        self._xperm = np.zeros((0, self.dim), np.float32)
+        self._xperm_cache: Optional[np.ndarray] = np.zeros((0, self.dim), np.float32)
+        self._xbase: Optional[np.ndarray] = None       # unpermuted merged corpus
+        self._order: Optional[np.ndarray] = None       # argsort(assign)
+        self._main_n = 0
         self._perm_ids: list[str] = []
-        self._main_pos: dict[str, int] = {}
+        self._main_pos_cache: Optional[dict[str, int]] = {}
         self._alive = np.zeros(0, bool)
         self._offsets = np.zeros(0, np.int32)
         self._lens = np.zeros(0, np.int32)
         self._main_live = 0
         self._dirty = True
         self._dev: Optional[dict] = None
+
+    @property
+    def _xperm(self) -> np.ndarray:
+        """Permuted host slab (cluster-major). Materialized on first use."""
+        cache = self._xperm_cache
+        if cache is None:
+            with self.lock:
+                if self._xperm_cache is None:
+                    self._xperm_cache = self._xbase[self._order]
+                    self._xbase = None
+                    self._order = None
+                cache = self._xperm_cache
+        return cache
+
+    @_xperm.setter
+    def _xperm(self, value: np.ndarray) -> None:
+        self._xperm_cache = value
+        self._xbase = None
+        self._order = None
+        self._main_n = value.shape[0]
+
+    @property
+    def _main_pos(self) -> dict[str, int]:
+        """id -> permuted-row dict. Materialized on first mutation/lookup."""
+        cache = self._main_pos_cache
+        if cache is None:
+            with self.lock:
+                if self._main_pos_cache is None:
+                    self._main_pos_cache = {
+                        pid: r for r, pid in enumerate(self._perm_ids)
+                    }
+                cache = self._main_pos_cache
+        return cache
+
+    @_main_pos.setter
+    def _main_pos(self, value: dict[str, int]) -> None:
+        self._main_pos_cache = value
 
     # ---- mutation -------------------------------------------------------
 
@@ -318,9 +363,13 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         )
 
         order = np.argsort(assign, kind="stable")
-        self._xperm = np.ascontiguousarray(x[order])
+        # defer the host permute + id->row dict: serving needs neither
+        self._xperm_cache = None
+        self._xbase = x
+        self._order = order
+        self._main_n = n
         self._perm_ids = [ids[i] for i in order]
-        self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+        self._main_pos_cache = None
         self._alive = np.ones(n, bool)
         self._lens = np.bincount(assign, minlength=k).astype(np.int32)
         self._offsets = np.concatenate([[0], np.cumsum(self._lens)[:-1]]).astype(np.int32)
@@ -347,7 +396,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
         l_pad = int(round_up(max(int(self._lens.max()) if k else 1, 1), 128))
-        n = self._xperm.shape[0]
+        n = self._main_n
         npad = round_up(n, 8) + l_pad  # tail pad so every slice stays in range
         alive = np.zeros(npad, bool)
         alive[:n] = self._alive
@@ -406,12 +455,11 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             return self._dev
         t = self._host_tables()
         n, npad = t["n"], t["npad"]
-        xp = np.zeros((npad, self.dim), np.float32)
-        xp[:n] = self._xperm
+        xp = self._xperm
         sq = np.zeros(npad, np.float32)
-        sq[:n] = np.einsum("nd,nd->n", self._xperm, self._xperm)
+        sq[:n] = np.einsum("nd,nd->n", xp, xp)
         self._dev = {
-            "xperm": jnp.asarray(xp),
+            "xperm": upload_rows(xp, pad_to=npad),
             "sqnorm": jnp.asarray(sq),
             **self._dev_common(t),
         }
@@ -431,7 +479,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             raise RuntimeError("device_search requires a built index")
         dev = self._sync()
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
-        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
+        ms = options.max_scans if options.max_scans is not None else self._main_n
         return self._run_scan(dev, q, top_k, nprobe, ms)
 
     def _run_scan(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
@@ -482,7 +530,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
 
         dev = self._sync()
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
-        ms = options.max_scans if options.max_scans is not None else self._xperm.shape[0]
+        ms = options.max_scans if options.max_scans is not None else self._main_n
         bb = batch_bucket(b)
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
         vals, rows = self._run_scan(dev, jnp.asarray(qp), top_k, nprobe, ms)

@@ -49,6 +49,7 @@ from pyrope_tpu.ops.pq import (
     pq_train_encode_device,
 )
 from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.ops.transfer import upload_rows
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     IndexStats,
@@ -330,16 +331,54 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         self._buffer = FlatIndex(dim, self.metric)
         self._built = False
         self._centroids: Optional[np.ndarray] = None
-        self._xperm = np.zeros((0, self.dim), np.float32)  # host-only raw rows
+        # host-only raw rows; permuted slab + id->row dict are LAZY, same
+        # rationale and mechanism as IvfFlatIndex (first-touch fault cost)
+        self._xperm_cache: Optional[np.ndarray] = np.zeros((0, self.dim), np.float32)
+        self._xbase: Optional[np.ndarray] = None
+        self._order: Optional[np.ndarray] = None
         self._codes = np.zeros((0, self.pq.m), np.uint8)
         self._perm_ids: list[str] = []
-        self._main_pos: dict[str, int] = {}
+        self._main_pos_cache: Optional[dict[str, int]] = {}
         self._alive = np.zeros(0, bool)
         self._offsets = np.zeros(0, np.int32)
         self._lens = np.zeros(0, np.int32)
         self._main_live = 0
         self._dirty = True
         self._dev: Optional[dict] = None
+
+    @property
+    def _xperm(self) -> np.ndarray:
+        cache = self._xperm_cache
+        if cache is None:
+            with self.lock:
+                if self._xperm_cache is None:
+                    self._xperm_cache = self._xbase[self._order]
+                    self._xbase = None
+                    self._order = None
+                cache = self._xperm_cache
+        return cache
+
+    @_xperm.setter
+    def _xperm(self, value: np.ndarray) -> None:
+        self._xperm_cache = value
+        self._xbase = None
+        self._order = None
+
+    @property
+    def _main_pos(self) -> dict[str, int]:
+        cache = self._main_pos_cache
+        if cache is None:
+            with self.lock:
+                if self._main_pos_cache is None:
+                    self._main_pos_cache = {
+                        pid: r for r, pid in enumerate(self._perm_ids)
+                    }
+                cache = self._main_pos_cache
+        return cache
+
+    @_main_pos.setter
+    def _main_pos(self, value: dict[str, int]) -> None:
+        self._main_pos_cache = value
 
     # ---- mutation (same buffer-first discipline as IVF-Flat) -------------
 
@@ -430,10 +469,13 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             codes = self.pq.encode(residuals)
 
         order = np.argsort(assign, kind="stable")
-        self._xperm = np.ascontiguousarray(x[order])
+        # defer the raw-row host permute + id->row dict (lazy properties)
+        self._xperm_cache = None
+        self._xbase = x
+        self._order = order
         self._codes = np.ascontiguousarray(codes[order])
         self._perm_ids = [ids[i] for i in order]
-        self._main_pos = {pid: r for r, pid in enumerate(self._perm_ids)}
+        self._main_pos_cache = None
         self._alive = np.ones(n, bool)
         self._lens = np.bincount(assign, minlength=kc).astype(np.int32)
         self._offsets = np.concatenate([[0], np.cumsum(self._lens)[:-1]]).astype(np.int32)
@@ -541,11 +583,10 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             # are computed from the fp32 truth so L2 stays exact up to the
             # gathered operand's storage rounding)
             dt = jnp.bfloat16 if self.refine_storage == "bf16" else jnp.float32
-            xr = np.zeros((npad, self.dim), np.float32)
-            xr[:n] = self._xperm
+            xp = self._xperm
             sq = np.zeros(npad, np.float32)
-            sq[:n] = np.einsum("nd,nd->n", self._xperm, self._xperm)
-            self._dev["xraw"] = jnp.asarray(xr, dtype=dt)
+            sq[:n] = np.einsum("nd,nd->n", xp, xp)
+            self._dev["xraw"] = upload_rows(xp, dtype=dt, pad_to=npad)
             self._dev["xsqnorm"] = jnp.asarray(sq)
         self._dirty = False
         return self._dev
