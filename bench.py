@@ -25,9 +25,13 @@ import time
 import numpy as np
 
 # Persistent compilation cache: index-build/search jits are reused across
-# bench runs instead of recompiling (~30 s saved on the IVF configs).
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/pyrope_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# bench runs instead of recompiling (tens of seconds per config). NOTE:
+# this jax build IGNORES the JAX_COMPILATION_CACHE_DIR env var (config
+# stays None) — only jax.config.update works, so route through
+# enable_compilation_cache() like the servers/scripts do.
+from pyrope_tpu.server.app import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 BASELINES = {
     # reference QPS numbers from BASELINE.md
