@@ -198,7 +198,8 @@ def _oracle_key(base, *params):
     return (base.shape, float(base[0, 0]), float(base[-1, -1]), *params)
 
 
-def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx):
+def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
+                  oracle_max_n=200_000):
     """recall@k of the REFERENCE's algorithm on the same data at the same
     hyperparameters (CPU oracle, pyrope_tpu/utils/ref_oracle.py — cited
     reference semantics; VERDICT r1 #1). None = oracle not applicable
@@ -209,8 +210,11 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx):
     from pyrope_tpu.utils import ref_oracle as ro
     from pyrope_tpu.utils.datasets import recall_at_k
 
-    if base.shape[0] > 200_000:
-        return None  # CPU Lloyd at 1M x nlist=1000 is minutes; documented gap
+    if base.shape[0] > oracle_max_n:
+        # CPU Lloyd at 1M x nlist=1000 is minutes of single-core work: off
+        # by default, opt in per run with --oracle-max-n (rows are merged
+        # into BENCH_DETAIL, so one slow run back-fills recall_ref for good)
+        return None
     if algo == "IVF_FLAT":
         # the nprobe sweep shares one partition — memoize the CPU k-means
         # (minutes of redundant single-core work per --all sweep otherwise)
@@ -250,6 +254,7 @@ def run_config(
     name: str, batch: int, topk: int, n_queries: int, duration_s: float,
     base_fvecs: str | None = None, query_fvecs: str | None = None,
     base_limit: int | None = None, with_oracle: bool = True,
+    oracle_max_n: int = 200_000,
 ) -> dict:
     import pyrope_tpu as pt
     from pyrope_tpu.utils.datasets import (
@@ -362,7 +367,7 @@ def run_config(
     n_oracle = min(len(gt_q), 256)
     recall_ref = (
         oracle_recall(algo, kwargs, base, gt_q[:n_oracle], truth[:n_oracle],
-                      topk, idx)
+                      topk, idx, oracle_max_n=oracle_max_n)
         if with_oracle else None
     )
 
@@ -402,6 +407,8 @@ def main() -> None:
     ap.add_argument("--glove", default=None,
                     help="GloVe .txt base file (ref Program.cs:192-232)")
     ap.add_argument("--base-limit", type=int, default=None)
+    ap.add_argument("--oracle-max-n", type=int, default=200_000,
+                    help="largest corpus the CPU reference oracle runs on")
     ap.add_argument("--no-oracle", action="store_true",
                     help="skip the reference-semantics recall oracle")
     args = ap.parse_args()
@@ -435,6 +442,7 @@ def main() -> None:
             n, args.batch, args.topk, args.queries, args.duration,
             base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
             base_limit=args.base_limit, with_oracle=not args.no_oracle,
+            oracle_max_n=args.oracle_max_n,
         )
         for n in names
     ]

@@ -218,6 +218,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         seed: int = 42,    # ref: IvfFlatVectorIndex k-means seed 42
         train_dtype: Optional[str] = None,
         scan_mode: str = "auto",
+        train_init: str = "kmeans++",  # | "sample" (the reference's init)
     ):
         """``compute_dtype`` governs SEARCH scans (None = exact fp32
         HIGHEST, the CLAUDE.md invariant). ``train_dtype`` governs k-means
@@ -236,6 +237,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         self.seed = seed
         self.train_dtype = train_dtype
         self.scan_mode = scan_mode
+        self.train_init = train_init
 
         self._buffer = FlatIndex(dim, self.metric, compute_dtype=compute_dtype)
         # built main slab (host truth). The permuted host slab and the
@@ -359,7 +361,8 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         # the search slab below is a device-side take of the same buffer
         # (the tunnel upload dominates build time — see ops/kmeans.py)
         cents, assign, x_dev = kmeans_build(
-            x, k, self.metric, seed=self.seed, compute_dtype=self.train_dtype
+            x, k, self.metric, seed=self.seed, compute_dtype=self.train_dtype,
+            init=self.train_init,
         )
 
         order = np.argsort(assign, kind="stable")

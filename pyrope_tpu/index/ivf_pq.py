@@ -301,6 +301,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         refine_storage: str = "bf16",  # bf16 | fp32
         train_dtype: Optional[str] = None,
         scan_mode: str = "auto",
+        train_init: str = "kmeans++",  # coarse init; | "sample" (ref init)
     ):
         """``refine``: exact-rerank shortlist factor — ADC selects
         ``refine * top_k`` candidates whose raw rows are gathered and
@@ -326,6 +327,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         self.refine_storage = refine_storage
         self.train_dtype = train_dtype  # training matmuls only (see IvfFlatIndex)
         self.scan_mode = scan_mode
+        self.train_init = train_init
         self.pq = ProductQuantizer(m=int(pq_m), ksub=int(ksub), dim=self.dim)
 
         self._buffer = FlatIndex(dim, self.metric)
@@ -450,7 +452,8 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         # (VERDICT r1 #3 — the m16 build was 16 sequential k-means each
         # re-uploading its subspace)
         cents, assign, x_dev = kmeans_build(
-            x, kc, metric, seed=self.seed, compute_dtype=self.train_dtype
+            x, kc, metric, seed=self.seed, compute_dtype=self.train_dtype,
+            init=self.train_init,
         )
 
         codes_dev = None

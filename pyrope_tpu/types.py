@@ -87,6 +87,7 @@ class IndexParams:
     nprobe: int = 3             # IVF probes (ref CombineNProbe=3)
     refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
     scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
+    train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -116,6 +117,11 @@ class IndexParams:
                 if sm not in ("auto", "dense", "probe"):
                     raise ValueError(f"scan_mode must be auto|dense|probe, got {val!r}")
                 p.scan_mode = sm
+            elif kk in ("train_init", "traininit"):
+                ti = str(val).lower()
+                if ti not in ("kmeans++", "sample"):
+                    raise ValueError(f"train_init must be kmeans++|sample, got {val!r}")
+                p.train_init = ti
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p

@@ -190,7 +190,13 @@ def test_dense_adc_matches_probe_adc(metric, refine):
     for d_hits, p_hits in zip(res["dense"], res["probe"]):
         d_ids, p_ids = {h.id for h in d_hits}, {h.id for h in p_hits}
         overlap = len(d_ids & p_ids) / max(len(p_ids), 1)
-        assert overlap >= 0.8, (sorted(d_ids), sorted(p_ids))
+        # refine=0: same ADC scores -> near-identical sets. refine>0
+        # compares exact scan (dense) vs ADC-shortlist+rerank (probe): at
+        # this toy scale (ksub=16 tables over 16-dim) the shortlist can
+        # legitimately miss exact-top rows, so the set bound is loose and
+        # the real invariant is the position-wise score domination below.
+        assert overlap >= (0.8 if refine == 0 else 0.5), (
+            sorted(d_ids), sorted(p_ids))
         for dh, ph in zip(d_hits, p_hits):
             if refine > 0:
                 assert dh.score >= ph.score - 1e-3  # dense can only improve
