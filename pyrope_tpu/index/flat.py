@@ -451,6 +451,12 @@ class FlatIndex(VectorIndex):
         return IndexStats(count=self._live, dim=self.dim, metric=self.metric)
 
     def snapshot(self, path: str) -> None:
+        # hold the lock: an in-place concurrent upsert would otherwise tear
+        # a row mid-serialization (mutators write self._vecs[row] directly)
+        with self.lock:
+            self._snapshot_locked(path)
+
+    def _snapshot_locked(self, path: str) -> None:
         live_rows = [r for r in range(self._count) if self._alive[r]]
         ids = np.array([self._row_ids[r] for r in live_rows], dtype=np.str_)
         vecs = self._vecs[live_rows] if live_rows else np.zeros((0, self.dim), np.float32)

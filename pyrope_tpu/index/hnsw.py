@@ -57,6 +57,19 @@ UPPER_GREEDY_STEPS = 16   # fixed greedy-descent iterations per upper level
 EXPAND_PER_STEP = 8       # E: pool entries expanded per beam iteration
 
 
+def beam_schedule(ef: int, top_k: int) -> tuple[int, int]:
+    """(pool, steps) for the batched beam at a given ef/k — the ONE place
+    the beam budget is tuned (single-chip device_search, search_batch, and
+    the sharded path must agree or recall diverges between paths). steps =
+    ceil(pool/E) + 8 lets the frontier drain fully plus slack; tuned on
+    uniform/clustered 100k against the sequential host oracle (r2)."""
+    from pyrope_tpu.utils.shapes import round_up as _ru
+
+    pool = int(_ru(max(ef, top_k, EXPAND_PER_STEP), 8))
+    steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
+    return pool, steps
+
+
 def beam_search_body(
     x, sqnorm, adj0, adj_up, alive, entry, q,
     *, metric: Metric, k: int, pool: int, steps: int, n_upper: int,
@@ -502,8 +515,7 @@ class HnswIndex(VectorIndex):
         if self._count == 0 or self._entry < 0:
             raise RuntimeError("device_search on empty index")
         ef = options.ef_search or self.ef_search
-        pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
-        steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
+        pool, steps = beam_schedule(ef, top_k)
         dev = self._sync()
         search_metric = (
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
@@ -538,8 +550,7 @@ class HnswIndex(VectorIndex):
             q = q / np.maximum(norms, 1e-12)
 
         ef = options.ef_search or self.ef_search
-        pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
-        steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
+        pool, steps = beam_schedule(ef, top_k)
         b = q.shape[0]
         bb = batch_bucket(b)
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q

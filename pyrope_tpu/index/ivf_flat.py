@@ -47,7 +47,7 @@ from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
 from pyrope_tpu.index.flat import FlatIndex
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.kmeans import kmeans_build
-from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.ops.topk import masked_topk, merge_topk
 from pyrope_tpu.ops.transfer import upload_rows
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -180,10 +180,8 @@ def _ivf_dense_fn(metric: Metric, k: int, nprobe: int, compute: str | None):
         )
         mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
         scores = score_matrix(q, xperm, metric, x_sqnorm=sqnorm, compute_dtype=cdtype)
-        scores = jnp.where(mask, scores, -jnp.inf)
-        vals, rows = jax.lax.top_k(scores, k)
-        rows = jnp.where(jnp.isfinite(vals), rows, -1)
-        return vals, rows
+        # masked_topk pads when k exceeds the slab (matches the probe kernel)
+        return masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
 
     return fn
 
@@ -569,7 +567,14 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
 
     def snapshot(self, path: str) -> None:
         """Full-state snapshot: centroids + permuted slab + lists + buffer
-        (ref: IvfFlatVectorIndex.cs:233-298 JSON snapshot — here one npz)."""
+        (ref: IvfFlatVectorIndex.cs:233-298 JSON snapshot — here one npz).
+
+        Runs under the index lock: live_vectors may return a VIEW of the
+        buffer slab and a concurrent upsert writes rows in place."""
+        with self.lock:
+            self._snapshot_locked(path)
+
+    def _snapshot_locked(self, path: str) -> None:
         bids, bvecs = self._buffer.live_vectors()
         meta = json.dumps({
             "format": "pyrope_tpu.ivf_flat.v1",

@@ -48,7 +48,7 @@ from pyrope_tpu.ops.pq import (
     adc_l2_table,
     pq_train_encode_device,
 )
-from pyrope_tpu.ops.topk import merge_topk
+from pyrope_tpu.ops.topk import masked_topk, merge_topk
 from pyrope_tpu.ops.transfer import upload_rows
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -168,10 +168,8 @@ def adc_scan_dense(
         ip = adc_ip_table(q, codebooks)
         scores = qdotc[:, crow] + adc_accumulate_shared(ip, codes_all)
     mask = dense_probe_mask(probe, eff, crow, pos, alive, kpad)
-    scores = jnp.where(mask, scores, -jnp.inf)
-    vals, rows = jax.lax.top_k(scores, k)
-    rows = jnp.where(jnp.isfinite(vals), rows, -1)
-    return vals, rows
+    # masked_topk pads when k exceeds the slab (matches the probe kernel)
+    return masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
 
 
 @functools.lru_cache(maxsize=None)
@@ -232,10 +230,8 @@ def _ivfpq_dense_exact_fn(
         mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
         scores = score_matrix(q, xraw.astype(jnp.float32), metric,
                               x_sqnorm=sqnorm)
-        scores = jnp.where(mask, scores, -jnp.inf)
-        vals, rows = jax.lax.top_k(scores, k)
-        rows = jnp.where(jnp.isfinite(vals), rows, -1)
-        return vals, rows
+        # masked_topk pads when k exceeds the slab (matches the probe kernel)
+        return masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
 
     return fn
 
@@ -529,7 +525,10 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         if n:
             crow[:n] = np.repeat(np.arange(kc, dtype=np.int32), self._lens)
             pos[:n] = np.arange(n, dtype=np.int32) - self._offsets[crow[:n]]
-            if self.pq.trained and self._centroids is not None:
+            # cdot feeds ONLY the refine=0 dense-ADC score decomposition;
+            # with rerank on (default) the dense path exact-scans the raw
+            # slab instead, so skip the O(N·D) host decode+einsum
+            if self.refine == 0 and self.pq.trained and self._centroids is not None:
                 cdot[:n] = compute_cdot(
                     self._codes, crow[:n], self._centroids, self.pq.codebooks
                 )
@@ -736,6 +735,12 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         return out
 
     def snapshot(self, path: str) -> None:
+        """Runs under the index lock: live_vectors may return a VIEW of the
+        buffer slab and a concurrent upsert writes rows in place."""
+        with self.lock:
+            self._snapshot_locked(path)
+
+    def _snapshot_locked(self, path: str) -> None:
         bids, bvecs = self._buffer.live_vectors()
         meta = json.dumps({
             "format": "pyrope_tpu.ivf_pq.v1",

@@ -215,7 +215,12 @@ def pq_train_encode_device(
 
     cents = _pq_lloyd(x, jnp.asarray(valid), cents0, iters=iters, block=block,
                       compute=compute)
-    codes = _pq_encode(x, cents, block=block, compute=compute)
+    # Final encode always fp32: train_dtype touches TRAINING matmuls only —
+    # the stored codes are the index's truth, and a bf16 argmax moves
+    # boundary rows to the wrong codeword (CLAUDE.md invariant; matches the
+    # host fallback ProductQuantizer.encode and kmeans_build's fp32
+    # final assignment).
+    codes = _pq_encode(x, cents, block=block, compute=None)
     return np.asarray(cents), codes
 
 

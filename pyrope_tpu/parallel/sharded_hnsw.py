@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pyrope_tpu.index.hnsw import EXPAND_PER_STEP, HnswIndex, beam_search_body
+from pyrope_tpu.index.hnsw import HnswIndex, beam_schedule, beam_search_body
 from pyrope_tpu.ops.scalars import device_i32
 from pyrope_tpu.parallel.mesh import DATA_AXIS, default_mesh
 from pyrope_tpu.types import (
@@ -108,8 +108,7 @@ class ShardedHnswIndex(HnswIndex):
                 f"{self._ndev} (search_batch pads automatically)"
             )
         ef = options.ef_search or self.ef_search
-        pool = int(round_up(max(ef, top_k, EXPAND_PER_STEP), 8))
-        steps = max(4, -(-pool // EXPAND_PER_STEP) + 8)
+        pool, steps = beam_schedule(ef, top_k)
         dev = self._replicated(self._sync())
         axis = self.mesh.axis_names[0]
         key = (top_k, pool, steps, dev["n_upper"], self.metric, axis)

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pyrope_tpu.ops.topk import masked_topk
 from pyrope_tpu.index.ivf_flat import (
     IvfFlatIndex,
     dense_probe_mask,
@@ -157,9 +158,9 @@ def make_sharded_ivf_dense_search(
         mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
         scores = score_matrix(q, xperm, metric, x_sqnorm=sqnorm,
                               compute_dtype=cdtype)
-        scores = jnp.where(mask, scores, -jnp.inf)
-        vals, lrows = jax.lax.top_k(scores, k)
-        gidx = jnp.where(jnp.isfinite(vals), shard * stride + lrows, -1)
+        # masked_topk pads when k exceeds the shard's slab rows
+        vals, lrows = masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
+        gidx = jnp.where(lrows >= 0, shard * stride + lrows, -1)
         vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
         gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
         mvals, pos_k = jax.lax.top_k(vals_all, k)

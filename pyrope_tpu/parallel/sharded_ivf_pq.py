@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from pyrope_tpu.ops.topk import masked_topk
 from pyrope_tpu.index.ivf_flat import pick_scan_mode, rank_probes
 from pyrope_tpu.index.ivf_pq import (
     IvfPqIndex,
@@ -78,6 +79,11 @@ def make_sharded_ivfpq_search(
         mids = jnp.where(jnp.isfinite(mvals), mids, -1)
         return mvals, mids
 
+    # 2-D batch x data mesh: queries shard over BATCH_AXIS like the flat/
+    # IVF siblings (each batch group scans the full data axis independently)
+    two_d = BATCH_AXIS in mesh.axis_names
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
@@ -87,9 +93,9 @@ def make_sharded_ivfpq_search(
             P(DATA_AXIS, None), P(DATA_AXIS, None),        # offsets, lens
             P(None, None, None),                           # codebooks replicated
             P(DATA_AXIS, None, None), P(DATA_AXIS, None),  # rerank slab + sqnorms
-            P(None, None), P(),
+            q_spec, P(),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(out_one, out_one),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -123,9 +129,8 @@ def make_sharded_ivfpq_dense_search(
             mask = dense_probe_mask(probe, eff, crow, pos, alive, cents.shape[0])
             scores = score_matrix(q, xraw[0].astype(jnp.float32), metric,
                                   x_sqnorm=xsq[0])
-            scores = jnp.where(mask, scores, -jnp.inf)
-            vals, lid = jax.lax.top_k(scores, k)
-            lid = jnp.where(jnp.isfinite(vals), lid, -1)
+            # masked_topk pads when k exceeds the shard's slab rows
+            vals, lid = masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
             gidx = jnp.where(lid >= 0, shard * stride + lid, -1)
         else:
             vals, lid = adc_scan_dense(
@@ -140,6 +145,9 @@ def make_sharded_ivfpq_dense_search(
         mids = jnp.where(jnp.isfinite(mvals), mids, -1)
         return mvals, mids
 
+    two_d = BATCH_AXIS in mesh.axis_names
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
@@ -150,9 +158,9 @@ def make_sharded_ivfpq_dense_search(
             P(None, None, None),
             P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
             P(DATA_AXIS, None, None), P(DATA_AXIS, None),
-            P(None, None), P(),
+            q_spec, P(),
         ),
-        out_specs=(P(None, None), P(None, None)),
+        out_specs=(out_one, out_one),
         check_vma=False,
     )
     return jax.jit(fn)
@@ -225,7 +233,10 @@ class ShardedIvfPqIndex(IvfPqIndex):
                 )
         cdot_l = np.zeros((nd, cap_local), np.float32)
         n_total = self._codes.shape[0]
-        if n_total and self.pq.trained and self._centroids is not None:
+        # cdot feeds only the refine=0 dense-ADC score path (see
+        # IvfPqIndex._host_tables) — skip the O(N·D) decode when reranking
+        if (self.refine == 0 and n_total and self.pq.trained
+                and self._centroids is not None):
             crow_global = np.repeat(
                 np.arange(k, dtype=np.int32), self._lens
             )

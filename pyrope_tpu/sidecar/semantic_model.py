@@ -30,7 +30,12 @@ class SemanticModelTrainer:
     def train(self, vectors: np.ndarray, metric: "Metric | str" = Metric.L2) -> np.ndarray:
         v = np.asarray(vectors, dtype=np.float32)
         k = min(self.k, len(v))
-        centroids = kmeans_train(v, k, metric=Metric.parse(metric), seed=42)
+        # kmeans++ seeding is deliberate here (not the reference's random
+        # sample, ref: semantic_model.py sklearn KMeans — which also uses
+        # ++ init): better-separated centroids directly improve L2
+        # semantic-cache cluster assignment quality
+        centroids = kmeans_train(v, k, metric=Metric.parse(metric), seed=42,
+                                 init="kmeans++")
         return np.asarray(centroids)
 
     def push(self, tenant: str, index: str, centroids: np.ndarray) -> dict:

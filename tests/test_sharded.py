@@ -386,6 +386,32 @@ class TestTwoDMeshIvf:
                 assert abs(ha.score - hb.score) < 1e-3
 
 
+class TestTwoDMeshIvfPq:
+    def test_2d_batch_data_mesh_matches_1d(self):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfPqIndex, make_mesh, make_mesh_2d
+
+        rng = np.random.default_rng(9)
+        base = rng.random((2000, 32), dtype=np.float32)
+        ids = [str(i) for i in range(2000)]
+        q = rng.random((8, 32), dtype=np.float32)
+        opts = pt.SearchOptions(nprobe=8)
+
+        kw = dict(nlist=8, pq_m=4, ksub=16, refine=8)
+        one_d = ShardedIvfPqIndex(32, "L2", mesh=make_mesh(4), **kw)
+        one_d.add_batch(ids, base)
+        one_d.build()
+        two_d = ShardedIvfPqIndex(32, "L2", mesh=make_mesh_2d(2, 4), **kw)
+        two_d.add_batch(ids, base)
+        two_d.build()
+        for a, b in zip(one_d.search_batch(q, 10, opts),
+                        two_d.search_batch(q, 10, opts)):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-3
+
+
 class TestShardedDenseScan:
     """Both sharded scan kernels (dense full-matmul-masked and sparse
     probe-sliced) must match the single-chip index per mode."""
