@@ -263,6 +263,27 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
             ro.ref_hnsw_search(idx, q, kwargs.get("ef_search", 10), topk)
             for q in gt_q
         ])
+    elif algo == "DELTA":
+        # bench deltas are fully compacted before search (head empty), so
+        # the reference analog is its tail: IVF-Flat nlist=100, nprobe 3
+        key = _oracle_key(base, "ivf", 100)
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = ro.ref_ivf_build(base, 100, seed=42)
+        cents, lists = _ORACLE_CACHE[key]
+        rows = np.stack([
+            ro.ref_ivf_search(base, cents, lists, q, 3, topk) for q in gt_q
+        ])
+    elif algo == "DELTA_HNSW_PQ":
+        # compacted tail = IVF-PQ (nlist=100, m=4, ksub=256); the reference
+        # scores pure ADC (no rerank stage)
+        key = _oracle_key(base, "ivfpq", 100, 4, 256)
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = ro.ref_ivfpq_build(base, 100, 4, 256)
+        cents, lists, cbs, codes = _ORACLE_CACHE[key]
+        rows = np.stack([
+            ro.ref_ivfpq_search(cents, lists, cbs, codes, q, 3, topk)
+            for q in gt_q
+        ])
     else:
         return None
     return round(recall_at_k(rows, truth, topk), 4)
