@@ -63,3 +63,38 @@ def test_cosine_metric_assignment():
     assert len(set(assign[:30].tolist())) == 1
     assert len(set(assign[30:].tolist())) == 1
     assert assign[0] != assign[30]
+
+
+class TestKppInit:
+    def test_kpp_deterministic_given_seed(self):
+        x = three_blobs()
+        a = kmeans_train(x, 3, seed=7, init="kmeans++")
+        b = kmeans_train(x, 3, seed=7, init="kmeans++")
+        np.testing.assert_array_equal(a, b)
+
+    def test_kpp_separates_blobs(self):
+        x = three_blobs()
+        cents = kmeans_train(x, 3, init="kmeans++")
+        # one centroid per blob: first-coordinate means near 0/20/40
+        got = sorted(cents[:, 0])
+        assert abs(got[0] - 0) < 3 and abs(got[1] - 20) < 3 and abs(got[2] - 40) < 3
+
+    def test_kpp_differs_from_sample_init(self):
+        x = three_blobs(n_per=200, dim=16, sep=2.0, seed=3)
+        a = kmeans_train(x, 10, seed=5, init="kmeans++")
+        b = kmeans_train(x, 10, seed=5, init="sample")
+        assert not np.array_equal(a, b)
+
+    def test_kpp_duplicate_corpus_degenerates_gracefully(self):
+        # all-identical rows: D^2 is zero everywhere after the first pick;
+        # the sampler must fall back to uniform instead of NaN logits
+        x = np.ones((64, 4), np.float32)
+        cents = kmeans_train(x, 4, init="kmeans++")
+        assert np.isfinite(cents).all()
+        np.testing.assert_allclose(cents, 1.0)
+
+    def test_bad_init_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            kmeans_train(three_blobs(), 3, init="bogus")
