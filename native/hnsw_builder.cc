@@ -117,9 +117,39 @@ void search_layer(Ctx& c, const float* q, float qsq, int entry, int ef,
   std::reverse(out.begin(), out.end());  // best first
 }
 
-// Add b into a's list; prune to closest-deg when full
-// (ref link+prune :141-162, SelectNeighbors = closest :327-331).
-void link(Ctx& c, int a, int b, int level) {
+// Diversity-heuristic neighbor selection (HNSW paper Alg. 4, with
+// keep-pruned backfill): walking candidates best-first, keep e only if e
+// is closer to the query point than to every already-kept neighbor.
+// The reference's closest-M (:327-331) piles all M links into the densest
+// direction; the heuristic spreads them, which is what lets a beam escape
+// a local cluster — measured recall wins at equal ef (see bench hnsw rows).
+// `cands` must be sorted best-first; writes <= m_out survivors into out.
+void select_heuristic(Ctx& c, const std::vector<ScoredNode>& cands,
+                      int m_out, std::vector<int>& out) {
+  out.clear();
+  std::vector<int> rejected;
+  for (const auto& sn : cands) {
+    if ((int)out.size() >= m_out) break;
+    int e = sn.second;
+    const float* ve = c.vecs + (size_t)e * c.dim;
+    float vesq = c.sqnorm[e];
+    bool keep = true;
+    for (int s : out) {
+      if (c.score(ve, vesq, s) > sn.first) { keep = false; break; }
+    }
+    if (keep) out.push_back(e);
+    else rejected.push_back(e);
+  }
+  for (int e : rejected) {  // keepPrunedConnections: backfill closest
+    if ((int)out.size() >= m_out) break;
+    out.push_back(e);
+  }
+}
+
+// Add b into a's list; prune when full — closest-deg (ref link+prune
+// :141-162, SelectNeighbors = closest :327-331) or diversity-heuristic.
+void link(Ctx& c, int a, int b, int level, bool heuristic,
+          std::vector<ScoredNode>& scratch, std::vector<int>& sel) {
   int32_t* row = c.adj_at(level) + (size_t)a * c.deg_at(level);
   const int deg = c.deg_at(level);
   for (int j = 0; j < deg; ++j) {
@@ -127,15 +157,23 @@ void link(Ctx& c, int a, int b, int level) {
   }
   const float* va = c.vecs + (size_t)a * c.dim;
   float vasq = c.sqnorm[a];
-  std::vector<ScoredNode> cands;
+  std::vector<ScoredNode>& cands = scratch;
+  cands.clear();
   cands.reserve(deg + 1);
   for (int j = 0; j < deg; ++j) cands.push_back({c.score(va, vasq, row[j]), row[j]});
   cands.push_back({c.score(va, vasq, b), b});
-  std::partial_sort(cands.begin(), cands.begin() + deg, cands.end(),
-                    [](const ScoredNode& x, const ScoredNode& y) {
-                      return x.first > y.first;
-                    });
-  for (int j = 0; j < deg; ++j) row[j] = cands[j].second;
+  std::sort(cands.begin(), cands.end(),
+            [](const ScoredNode& x, const ScoredNode& y) {
+              return x.first > y.first;
+            });
+  if (heuristic) {
+    select_heuristic(c, cands, deg, sel);
+    int j = 0;
+    for (int e : sel) row[j++] = e;
+    for (; j < deg; ++j) row[j] = -1;
+  } else {
+    for (int j = 0; j < deg; ++j) row[j] = cands[j].second;
+  }
 }
 
 }  // namespace
@@ -147,7 +185,7 @@ extern "C" {
 // adj_up: [max_level * n * m] int32 (level l>=1 at offset (l-1)*n*m), init -1
 // Returns the entry point row; writes top level to *top_level_out.
 int hnsw_build(const float* vecs, const float* sqnorm, int n, int dim,
-               int m, int ef_construction, int metric,
+               int m, int ef_construction, int metric, int heuristic,
                const int32_t* levels, int max_level,
                int32_t* adj0, int32_t* adj_up, int32_t* top_level_out) {
   Ctx c;
@@ -169,6 +207,9 @@ int hnsw_build(const float* vecs, const float* sqnorm, int n, int dim,
   int entry = -1;
   int top = -1;
   std::vector<ScoredNode> w;
+  std::vector<ScoredNode> scratch;
+  std::vector<int> sel;       // outer selection for the new node
+  std::vector<int> link_sel;  // scratch for link()'s own pruning
   for (int i = 0; i < n; ++i) {
     int level = levels[i];
     const float* v = c.vecs + (size_t)i * dim;
@@ -186,12 +227,21 @@ int hnsw_build(const float* vecs, const float* sqnorm, int n, int dim,
       search_layer(c, v, vsq, cur, ef_construction, lev, w);
       int32_t* my_row = c.adj_at(lev) + (size_t)i * c.deg_at(lev);
       int slot = 0;
-      const int take = std::min((int)w.size(), m);  // closest-M selection
-      for (int j = 0; j < take; ++j) {
-        int nb = w[j].second;
-        if (nb == i) continue;
-        if (slot < c.deg_at(lev)) my_row[slot++] = nb;
-        link(c, nb, i, lev);
+      if (heuristic) {
+        select_heuristic(c, w, m, sel);
+        for (int nb : sel) {
+          if (nb == i) continue;
+          if (slot < c.deg_at(lev)) my_row[slot++] = nb;
+          link(c, nb, i, lev, true, scratch, link_sel);
+        }
+      } else {
+        const int take = std::min((int)w.size(), m);  // closest-M selection
+        for (int j = 0; j < take; ++j) {
+          int nb = w[j].second;
+          if (nb == i) continue;
+          if (slot < c.deg_at(lev)) my_row[slot++] = nb;
+          link(c, nb, i, lev, false, scratch, link_sel);
+        }
       }
       if (!w.empty()) cur = w[0].second;
     }

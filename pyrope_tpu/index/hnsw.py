@@ -201,12 +201,19 @@ class HnswIndex(VectorIndex):
         ef_construction: int = DEFAULT_EF_CONSTRUCTION,
         ef_search: int = DEFAULT_EF_SEARCH,
         seed: int = 42,
+        neighbor_heuristic: bool = True,
     ):
+        """``neighbor_heuristic``: diversity-heuristic neighbor selection
+        (HNSW paper Alg. 4) instead of the reference's closest-M
+        (ref: HnswVectorIndex.cs SelectNeighbors :327-331). Spreading links
+        across directions lets the beam escape local clusters — measured
+        recall wins at equal ef. False restores reference selection."""
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.m = int(m)
         self.ef_construction = int(ef_construction)
         self.ef_search = int(ef_search)  # mutable, ref :30-40
+        self.neighbor_heuristic = bool(neighbor_heuristic)
         self._ml = 1.0 / math.log(self.m)  # λ = 1/ln(m), ref :351-357
         self._rng = np.random.default_rng(seed)
 
@@ -319,9 +326,35 @@ class HnswIndex(VectorIndex):
                 return cur
             cur, cur_s = int(nbrs[bi]), float(ss[bi])
 
+    def _select_neighbors(self, cands: np.ndarray,
+                          scores: np.ndarray, m_out: int) -> np.ndarray:
+        """Neighbor selection from best-first (cands, scores): diversity
+        heuristic (default) or the reference's closest-M. Mirrors the
+        native builder's select_heuristic exactly."""
+        order = np.argsort(-scores)
+        cands, scores = cands[order], scores[order]
+        if not self.neighbor_heuristic:
+            return cands[:m_out]
+        kept: list[int] = []
+        rejected: list[int] = []
+        for e, s in zip(cands, scores):
+            if len(kept) >= m_out:
+                break
+            ek = self._scores(self._vecs[int(e)], np.asarray(kept, np.int64)) if kept else None
+            if ek is None or not (ek > s).any():
+                kept.append(int(e))
+            else:
+                rejected.append(int(e))
+        for e in rejected:  # keepPrunedConnections backfill
+            if len(kept) >= m_out:
+                break
+            kept.append(e)
+        return np.asarray(kept, dtype=cands.dtype)
+
     def _link(self, a: int, b: int, level: int) -> None:
-        """Add b to a's neighbor list, pruning to closest max-degree
-        (ref link+prune :141-162; SelectNeighbors=closest :327-331)."""
+        """Add b to a's neighbor list, pruning to max-degree when full —
+        closest (ref link+prune :141-162; SelectNeighbors=closest :327-331)
+        or diversity-heuristic per ``neighbor_heuristic``."""
         adj = self._adj_at(level)
         row = adj[a]
         slot = np.where(row < 0)[0]
@@ -330,8 +363,9 @@ class HnswIndex(VectorIndex):
             return
         cands = np.append(row, b)
         ss = self._scores(self._vecs[a], cands)
-        keep = cands[np.argsort(-ss)[: row.shape[0]]]
-        adj[a][:] = keep
+        keep = self._select_neighbors(cands, ss, row.shape[0])
+        adj[a][:] = -1
+        adj[a][: keep.shape[0]] = keep
 
     # ---- mutation --------------------------------------------------------
 
@@ -373,9 +407,15 @@ class HnswIndex(VectorIndex):
             cur = self._greedy_descent_host(v, cur, lev)
         for lev in range(min(level, self._top_level), -1, -1):
             w = self._search_layer_host(v, [cur], self.ef_construction, lev)
-            # closest-M selection; the 2M layer-0 cap is enforced by the
-            # adjacency row width inside _link (ref SelectNeighbors :327-331)
-            neighbors = [n for _, n in w[: self.m]]
+            # neighbor selection (heuristic by default, closest-M when
+            # neighbor_heuristic=False; the 2M layer-0 cap is enforced by
+            # the adjacency row width inside _link)
+            wc = np.asarray([n for _, n in w], np.int64)
+            wsc = np.asarray([s for s, _ in w], np.float32)
+            neighbors = (
+                [int(x) for x in self._select_neighbors(wc, wsc, self.m)]
+                if wc.size else []
+            )
             adj = self._adj_at(lev)
             for n in neighbors:
                 if n == row:
@@ -421,6 +461,7 @@ class HnswIndex(VectorIndex):
         built = hnsw_build_native(
             vecs, levels, self.m, self.ef_construction,
             metric_is_l2=(self.metric == Metric.L2),
+            heuristic=self.neighbor_heuristic,
         )
         if built is None:
             return super().add_batch(ids, vecs)
@@ -598,6 +639,7 @@ class HnswIndex(VectorIndex):
             "m": self.m,
             "ef_construction": self.ef_construction,
             "ef_search": self.ef_search,
+            "neighbor_heuristic": self.neighbor_heuristic,
             "entry": self._entry,
             "top_level": self._top_level,
             "count": n,
@@ -624,6 +666,7 @@ class HnswIndex(VectorIndex):
             self.m = int(meta["m"])
             self.ef_construction = int(meta["ef_construction"])
             self.ef_search = int(meta["ef_search"])
+            self.neighbor_heuristic = bool(meta.get("neighbor_heuristic", True))
             self._ml = 1.0 / math.log(self.m)
             n = int(meta["count"])
             cap = max(1024, round_up(n, 1024))

@@ -72,6 +72,7 @@ def load_native() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int,       # n, dim
             ctypes.c_int, ctypes.c_int,       # m, ef_construction
             ctypes.c_int,                     # metric
+            ctypes.c_int,                     # heuristic (0 = ref closest-M)
             ctypes.POINTER(ctypes.c_int32),   # levels
             ctypes.c_int,                     # max_level
             ctypes.POINTER(ctypes.c_int32),   # adj0

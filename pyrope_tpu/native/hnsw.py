@@ -16,6 +16,7 @@ def hnsw_build_native(
     m: int,
     ef_construction: int,
     metric_is_l2: bool,
+    heuristic: bool = True,
 ) -> "Optional[tuple[np.ndarray, np.ndarray, int, int]]":
     """Build the full graph natively.
 
@@ -44,6 +45,7 @@ def hnsw_build_native(
         sq.ctypes.data_as(f32p),
         n, dim, m, ef_construction,
         0 if metric_is_l2 else 1,
+        1 if heuristic else 0,
         lv.ctypes.data_as(i32p),
         max_level,
         adj0.ctypes.data_as(i32p),

@@ -75,12 +75,14 @@ class ShardedHnswIndex(HnswIndex):
         ef_construction: int = 200,
         ef_search: int = 10,
         seed: int = 42,
+        neighbor_heuristic: bool = True,
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = self.mesh.devices.size
         super().__init__(
             dim, metric, m=m, ef_construction=ef_construction,
             ef_search=ef_search, seed=seed,
+            neighbor_heuristic=neighbor_heuristic,
         )
         self._fn_cache: dict = {}
 
