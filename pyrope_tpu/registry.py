@@ -39,6 +39,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
         head: VectorIndex = HnswIndex(
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
+            neighbor_heuristic=p.neighbor_heuristic,
         )
     else:
         head = FlatIndex(config.dim, config.metric)
@@ -46,6 +47,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
         tail: VectorIndex = HnswIndex(
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
+            neighbor_heuristic=p.neighbor_heuristic,
         )
     elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(

@@ -88,6 +88,7 @@ class IndexParams:
     refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
     scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
+    neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -122,6 +123,9 @@ class IndexParams:
                 if ti not in ("kmeans++", "sample"):
                     raise ValueError(f"train_init must be kmeans++|sample, got {val!r}")
                 p.train_init = ti
+            elif kk in ("neighbor_heuristic", "neighborheuristic"):
+                p.neighbor_heuristic = bool(val) if not isinstance(val, str) \
+                    else val.lower() in ("1", "true", "yes", "on")
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p
