@@ -9,14 +9,18 @@ Prints exactly ONE JSON line on stdout:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 Detailed per-config results go to stderr and BENCH_DETAIL.json.
 
-Headline config: IVF-Flat 100k x 128d synthetic, device batch 1024,
-topK=10 — the reference's best published number for this workload is
-673.2 QPS (docs/benchmarks/20260118_benchmark_100k_ivf.md, BASELINE.md).
-Batch 1024 is the headline because it is dispatch-amortized: the tunneled
-dev chip's batch-64 QPS swings 2-4x with time-of-day network phase
-(10k-46k measured on the same commit), while the b1024 row is stable —
-round-over-round comparisons need the stable shape. batch-64 rows remain
-in BENCH_DETAIL via --config ivf100k.
+Headline config: IVF-Flat 100k x 128d synthetic, nprobe=96, device batch
+1024, topK=10 — the RECALL-MATCHED serving row (recall@10 ≈ 0.997 vs the
+oracle's 0.998; VERDICT r2 #1): the fused Pallas dense-mask kernel runs
+wide probes at full-scan speed, so the row that matches exact-search
+quality is also the fastest row. The reference's best published number for
+this workload is 673.2 QPS at its default nprobe=3 (recall ~0.14;
+docs/benchmarks/20260118_benchmark_100k_ivf.md, BASELINE.md). Batch 1024
+is the headline because it is dispatch-amortized: the tunneled dev chip's
+batch-64 QPS swings 2-4x with time-of-day network phase (10k-46k measured
+on the same commit), while the b1024 row is stable — round-over-round
+comparisons need the stable shape. batch-64 rows remain in BENCH_DETAIL
+via --config ivf100k.
 """
 
 from __future__ import annotations
@@ -77,6 +81,19 @@ BASELINES = {
     "ivfpq100k_b1024": None,
     "ivfpq100k_m16_b1024": None,
     "ivf1m_b1024": None,  # reference DNF'd at 1M
+    # recall-matched Delta operating point (VERDICT r2 #5): the reference's
+    # Delta compaction benchmark peaks at 460.4 QPS (BASELINE.md:22)
+    "delta20k_np96": 460.4,
+    # cosine serving row (ref treats cosine first-class, VectorMath.cs:102-125)
+    "flat100k_cos_b1024": None,
+    # Pallas fused scan at the serving batch (r2 rows were batch 64 only)
+    "flat1m_pallas_b1024": None,
+    # uniform-1M recall frontier: where wide-probe IVF meets the exact scan
+    "ivf1m_np256": None,
+    # IVF-PQ at the scale PQ exists for (VERDICT r2 #2): probe-mode ADC
+    # kernels on real hardware; _adc = refine=0 memory-parity pure ADC
+    "ivfpq1m_clustered": None,
+    "ivfpq1m_adc": None,
 }
 
 CONFIGS = {
@@ -143,10 +160,31 @@ CONFIGS = {
     # docs/benchmarks/20260816_dense_mask_kernels.md)
     "ivf1m_b1024": ("IVF_FLAT", 1_000_000, 128,
                     {"nlist": 1000, "train_dtype": "bfloat16", "batch": 1024}),
+    # recall-matched Delta: tail SearchOptions(nprobe=96) passes through the
+    # composite (ref: DeltaVectorIndex.cs:76-122 forwards options)
+    "delta20k_np96": ("DELTA", 20_000, 128, {"opts": {"nprobe": 96}}),
+    # cosine at the serving batch: exact scan must print recall 1.0
+    "flat100k_cos_b1024": ("FLAT_COS", 100_000, 128, {"batch": 1024}),
+    "flat1m_pallas_b1024": ("FLAT_PALLAS", 1_000_000, 128, {"batch": 1024}),
+    # uniform 1M, wide probe, batch 64 (the XLA dense kernel's [B, npad]
+    # transient caps the batch — see DENSE_MAX_ELEMS): the measured point
+    # where probing ~1/4 of a structureless corpus approaches the exact
+    # Pallas full scan (flat1m_pallas)
+    "ivf1m_np256": ("IVF_FLAT", 1_000_000, 128,
+                    {"nlist": 1000, "train_dtype": "bfloat16", "nprobe": 256}),
+    # PQ at 1M clustered (probe mode -> the ADC kernels run on hardware):
+    # m=16 + exact rerank for the quality row, m=8 refine=0 for the
+    # reference-memory-parity pure-ADC row (16x compression)
+    "ivfpq1m_clustered": ("IVF_PQ", 1_000_000, 128,
+                          {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                           "train_dtype": "bfloat16"}),
+    "ivfpq1m_adc": ("IVF_PQ", 1_000_000, 128,
+                    {"nlist": 1000, "pq_m": 8, "ksub": 256, "refine": 0,
+                     "train_dtype": "bfloat16"}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
-             "hnsw1m_clustered"}
+             "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc"}
 
 
 def log(*a):
@@ -176,6 +214,10 @@ def build_index(algo: str, dim: int, kwargs: dict):
 
     if algo == "FLAT":
         return pt.FlatIndex(dim, "L2")
+    if algo == "FLAT_COS":
+        # cosine: normalize-at-insert + IP scan (ref: VectorMath.cs:102-125,
+        # HnswVectorIndex.cs:69-85 normalize-at-insert convention)
+        return pt.FlatIndex(dim, "COSINE")
     if algo == "FLAT_APPROX":
         # bf16 slab + PartialReduce top-k: the full-throughput TPU scan
         return pt.FlatIndex(dim, "L2", storage="bf16", selection="approx:0.95")
@@ -265,13 +307,17 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
         ])
     elif algo == "DELTA":
         # bench deltas are fully compacted before search (head empty), so
-        # the reference analog is its tail: IVF-Flat nlist=100, nprobe 3
+        # the reference analog is its tail: IVF-Flat nlist=100 at the same
+        # nprobe the row runs (SearchOptions pass-through, ref
+        # DeltaVectorIndex.cs:76-122)
         key = _oracle_key(base, "ivf", 100)
         if key not in _ORACLE_CACHE:
             _ORACLE_CACHE[key] = ro.ref_ivf_build(base, 100, seed=42)
         cents, lists = _ORACLE_CACHE[key]
+        np_eff = kwargs.get("nprobe", 3)
         rows = np.stack([
-            ro.ref_ivf_search(base, cents, lists, q, 3, topk) for q in gt_q
+            ro.ref_ivf_search(base, cents, lists, q, np_eff, topk)
+            for q in gt_q
         ])
     elif algo == "DELTA_HNSW_PQ":
         # compacted tail = IVF-PQ (nlist=100, m=4, ksub=256); the reference
@@ -286,6 +332,36 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
         ])
     else:
         return None
+    return round(recall_at_k(rows, truth, topk), 4)
+
+
+def hnsw_e2e_oracle(base, kwargs, gt_q, truth, topk, metric="L2"):
+    """End-to-end reference HNSW recall: build a CLOSEST-M graph
+    (neighbor_heuristic=False — the reference's SelectNeighbors,
+    HnswVectorIndex.cs:327-331) and run the sequential reference search on
+    it (greedy descent + best-first SearchLayer, :229-325). This measures
+    what the reference itself would score on this data, unlike recall_ref
+    which isolates beam-vs-sequential on the rebuild's (better) graph."""
+    import pyrope_tpu as pt
+    from pyrope_tpu.utils import ref_oracle as ro
+    from pyrope_tpu.utils.datasets import recall_at_k
+
+    key = _oracle_key(base, "hnsw_ref", kwargs.get("m", 16),
+                      kwargs.get("ef_construction", 200))
+    if key not in _ORACLE_CACHE:
+        ref_idx = pt.HnswIndex(
+            base.shape[1], metric,
+            m=kwargs.get("m", 16),
+            ef_construction=kwargs.get("ef_construction", 200),
+            ef_search=kwargs.get("ef_search", 10),
+            neighbor_heuristic=False,
+        )
+        log(f"  [e2e oracle] building closest-M graph over {base.shape[0]} rows...")
+        ref_idx.add_batch([str(i) for i in range(base.shape[0])], base)
+        _ORACLE_CACHE[key] = ref_idx
+    ref_idx = _ORACLE_CACHE[key]
+    ef = kwargs.get("ef_search", 10)
+    rows = np.stack([ro.ref_hnsw_search(ref_idx, q, ef, topk) for q in gt_q])
     return round(recall_at_k(rows, truth, topk), 4)
 
 
@@ -308,6 +384,10 @@ def run_config(
     algo, n_base, dim, kwargs = CONFIGS[name]
     kwargs = dict(kwargs)
     batch = kwargs.pop("batch", batch)  # per-config device-batch override
+    # per-config SearchOptions (e.g. the recall-matched Delta tail nprobe);
+    # merged into the oracle's view so both sides run the same knobs
+    opt_kwargs = kwargs.pop("opts", {})
+    metric = "COSINE" if algo == "FLAT_COS" else "L2"
 
     if base_fvecs:  # real dataset (e.g. SIFT1M .fvecs) replaces synthetic
         base = read_fvecs(base_fvecs, limit=base_limit or n_base)
@@ -356,7 +436,7 @@ def run_config(
 
     import jax.numpy as jnp
 
-    opts = pt.SearchOptions()
+    opts = pt.SearchOptions(**opt_kwargs)
     n_slices = max(len(queries) // batch, 1)
     q_dev = jnp.asarray(queries[: n_slices * batch].reshape(n_slices, batch, dim))
 
@@ -387,16 +467,17 @@ def run_config(
 
     # Latency: per-batch blocking round trip incl. result fetch (on the
     # tunneled dev TPU this is dominated by ~30 ms network RTT; co-located
-    # serving pays PCIe microseconds instead).
+    # serving pays PCIe microseconds instead). 200 samples: with 30 draws
+    # p99 degenerated to max, pure tunnel noise (VERDICT r2 weak #6).
     lat_ms = []
-    for i in range(30):
+    for i in range(200):
         t0 = time.perf_counter()
         fetch(idx.device_search(q_dev[i % n_slices], topk, opts))
         lat_ms.append((time.perf_counter() - t0) * 1e3)
     summary = LatencySummary.from_samples(lat_ms)
 
     gt_q = queries[:batch]
-    truth = ground_truth(base, gt_q, topk, "L2")
+    truth = ground_truth(base, gt_q, topk, metric)
     vals, rows = idx.device_search(q_dev[0], topk, opts)
     id_lists = idx.resolve_rows(np.asarray(rows))
     from pyrope_tpu.utils.datasets import id_lists_to_rows
@@ -406,12 +487,23 @@ def run_config(
     # the reference-semantics oracle is a per-query Python loop on the ONE
     # host core — cap its query count so large-batch configs don't spend
     # minutes of CPU re-proving the same partition (recall_at_10 above still
-    # uses the full batch)
+    # uses the full batch; n_oracle is recorded in the row so readers can
+    # judge the ±~0.02 sampling band when comparing columns — ADVICE r2)
     n_oracle = min(len(gt_q), 256)
+    oracle_kwargs = {**kwargs, **opt_kwargs}
     recall_ref = (
-        oracle_recall(algo, kwargs, base, gt_q[:n_oracle], truth[:n_oracle],
-                      topk, idx, oracle_max_n=oracle_max_n)
+        oracle_recall(algo, oracle_kwargs, base, gt_q[:n_oracle],
+                      truth[:n_oracle], topk, idx, oracle_max_n=oracle_max_n)
         if with_oracle else None
+    )
+    # end-to-end reference oracle for HNSW (VERDICT r2 #4): the sequential
+    # reference search on a closest-M graph — "what the reference would
+    # score", complementing recall_ref's beam-vs-sequential-on-same-graph
+    recall_ref_e2e = (
+        hnsw_e2e_oracle(base, oracle_kwargs, gt_q[:n_oracle],
+                        truth[:n_oracle], topk, metric)
+        if with_oracle and algo == "HNSW" and n_base <= oracle_max_n
+        else None
     )
 
     out = {
@@ -424,11 +516,20 @@ def run_config(
         "qps": round(qps, 1),
         "recall_at_10": round(recall, 4),
         "recall_ref": recall_ref,
+        "n_oracle": n_oracle if with_oracle else 0,
         "load_s": round(load_s, 3),
         "build_s": round(build_s, 3),
         "latency_batch_ms": summary.to_dict(),
         "baseline_qps": BASELINES.get(name),
     }
+    if recall_ref_e2e is not None:
+        out["recall_ref_e2e"] = recall_ref_e2e
+    if hasattr(idx, "describe_scan"):
+        # the code path this row measured (e.g. IVF-PQ dense rows with
+        # refine>0 exact-scan the rerank slab and never touch ADC)
+        out["scan_path"] = idx.describe_scan(batch, opt_kwargs.get("nprobe"))
+    if hasattr(idx, "memory_bytes"):
+        out["memory_bytes"] = idx.memory_bytes()
     log(f"[{name}] QPS={qps:,.1f} recall@{topk}={recall:.4f} "
         f"recall_ref={recall_ref} "
         f"p50={summary.p50_ms:.2f}ms p99={summary.p99_ms:.2f}ms")
@@ -437,7 +538,7 @@ def run_config(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="ivf100k_b1024", choices=sorted(CONFIGS))
+    ap.add_argument("--config", default="ivf100k_np96_b1024", choices=sorted(CONFIGS))
     ap.add_argument("--all", action="store_true", help="run every config")
     ap.add_argument("--quick", action="store_true", help="small fast sanity run")
     ap.add_argument("--batch", type=int, default=64)

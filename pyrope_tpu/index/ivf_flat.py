@@ -64,6 +64,11 @@ DEFAULT_NPROBE = 3  # ref: IvfFlatVectorIndex.cs:14 CombineNProbe = 3
 DENSE_MAX_ROWS = 262_144   # a full matmul over this many rows is trivially cheap
 DENSE_TILE_B = 256         # ~queries amortizing one slab pass in the dense matmul
 DENSE_MARGIN = 2           # require probe traffic >= 2x dense before switching
+# The XLA dense kernel transiently materializes [B, npad] fp32 scores plus
+# an int32 allowed_row gather and a bool mask (~9 B/element); cap the
+# product so an unusual batch bucket cannot OOM the chip (2^28 elements
+# ≈ 2.4 GB transient — comfortable on a 16 GB v5e).
+DENSE_MAX_ELEMS = 1 << 28
 
 
 def pick_scan_mode(
@@ -80,12 +85,23 @@ def pick_scan_mode(
     """
     if scan_mode != "auto":
         return scan_mode
+    if batch * npad > DENSE_MAX_ELEMS:
+        return "probe"  # [B, npad] transients would not fit (see cap above)
     if npad <= DENSE_MAX_ROWS:
         return "dense"
     dense_traffic = npad * -(-batch // DENSE_TILE_B)
     if batch * nprobe * l_pad >= DENSE_MARGIN * dense_traffic:
         return "dense"
     return "probe"
+
+
+def slab_pad(n: int, l_pad: int) -> int:
+    """Padded slab length: tail pad so every probe slice stays in range,
+    rounded to a Pallas-tile-friendly multiple (the fused dense kernel needs
+    npad % row_tile == 0; extra rows are alive=False so every path ignores
+    them)."""
+    npad = round_up(n, 8) + l_pad
+    return int(round_up(npad, 4096) if npad > 4096 else round_up(npad, 128))
 
 
 def rank_probes(q, cents, cvalid, offsets, lens, nprobe, max_scans, metric, cdtype):
@@ -186,6 +202,64 @@ def _ivf_dense_fn(metric: Metric, k: int, nprobe: int, compute: str | None):
     return fn
 
 
+def probed_table(probe: jax.Array, kpad: int) -> jax.Array:
+    """[B, nprobe] probe ids -> [B, Kp] 0/1 fp32 table (Kp lane-padded for
+    the fused kernel's membership matmul)."""
+    b = probe.shape[0]
+    kp = int(round_up(kpad, 128))
+    return jnp.zeros((b, kp), jnp.float32).at[
+        jnp.arange(b)[:, None], probe
+    ].set(1.0)
+
+
+@functools.lru_cache(maxsize=None)
+def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
+                         promote: bool = False,
+                         probe_metric: Metric | None = None):
+    """Fused dense-mask scan: rank probes in XLA (tiny), then ONE Pallas
+    pass that streams the slab, masks by probe membership in-kernel, and
+    keeps a running top-k in VMEM — no [B, N] score/mask materialization
+    (see ops/pallas_scan.pallas_ivf_topk). Full-scan semantics only: callers
+    route max_scans budgets to the XLA kernels."""
+    from pyrope_tpu.ops.pallas_scan import pallas_ivf_topk
+
+    @jax.jit
+    def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, crow, q, max_scans):
+        probe, _, _ = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        probed = probed_table(probe, cents.shape[0])
+        b = q.shape[0]
+        return pallas_ivf_topk(
+            q, xperm, sqnorm, alive, crow, probed, k, metric,
+            promote_fp32=promote,
+            row_tile=min(4096, xperm.shape[0]), batch_tile=min(64, b),
+        )
+
+    return fn
+
+
+def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
+                    npad: int, kpad: int, b: int, ms: int, n: int) -> bool:
+    """Eligibility of the fused Pallas dense kernel (falls back to the XLA
+    dense kernel otherwise): full scan only (no max_scans budget), L2/IP,
+    exact fp32 compute, tile-divisible shapes, and a cluster table narrow
+    enough that the membership matmul stays a fraction of the scan."""
+    from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+    if selection == "exact":
+        return False
+    return (
+        metric != Metric.COSINE
+        and compute is None
+        and ms >= n
+        and kpad <= PALLAS_IVF_MAX_KPAD
+        and npad % min(4096, npad) == 0
+        and b % min(64, b) == 0
+    )
+
+
 @functools.lru_cache(maxsize=None)
 def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str | None):
     cdtype = None if compute is None else jnp.dtype(compute)
@@ -217,6 +291,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         train_dtype: Optional[str] = None,
         scan_mode: str = "auto",
         train_init: str = "kmeans++",  # | "sample" (the reference's init)
+        selection: str = "auto",
     ):
         """``compute_dtype`` governs SEARCH scans (None = exact fp32
         HIGHEST, the CLAUDE.md invariant). ``train_dtype`` governs k-means
@@ -224,9 +299,14 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         which list a boundary row lands in, not search exactness; None
         restores bit-stable fp32 training. ``scan_mode`` picks the probed
         scan kernel: 'auto' | 'dense' | 'probe' (see module docstring —
-        both produce identical hit sets)."""
+        both produce identical hit sets). ``selection``: 'auto' routes
+        eligible dense scans through the fused Pallas kernel (identical hit
+        sets, no [B, N] materialization); 'pallas' requires it; 'exact'
+        forces the XLA dense kernel."""
         if scan_mode not in ("auto", "dense", "probe"):
             raise ValueError(f"scan_mode must be auto|dense|probe, got {scan_mode!r}")
+        if selection not in ("auto", "pallas", "exact"):
+            raise ValueError(f"selection must be auto|pallas|exact, got {selection!r}")
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.nlist = int(nlist)
@@ -236,6 +316,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         self.train_dtype = train_dtype
         self.scan_mode = scan_mode
         self.train_init = train_init
+        self.selection = selection
 
         self._buffer = FlatIndex(dim, self.metric, compute_dtype=compute_dtype)
         # built main slab (host truth). The permuted host slab and the
@@ -398,7 +479,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         kpad = round_up(max(k, 1), 8)
         l_pad = int(round_up(max(int(self._lens.max()) if k else 1, 1), 128))
         n = self._main_n
-        npad = round_up(n, 8) + l_pad  # tail pad so every slice stays in range
+        npad = slab_pad(n, l_pad)
         alive = np.zeros(npad, bool)
         alive[:n] = self._alive
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -489,6 +570,25 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             batch=q.shape[0],
         )
         if mode == "dense":
+            if pallas_dense_ok(
+                self.selection, self.metric, self.compute_dtype,
+                dev["xperm"].shape[0], dev["cents"].shape[0], q.shape[0],
+                ms, self._main_n,
+            ):
+                fn = _ivf_dense_pallas_fn(self.metric, top_k, nprobe)
+                return fn(
+                    dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                    dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
+                    q, device_i32(ms),
+                )
+            if self.selection == "pallas" and ms >= self._main_n:
+                # a per-query max_scans budget (ms < n, e.g. SLO
+                # degradation) falls back to the XLA kernels silently;
+                # anything else under explicit 'pallas' is a config error
+                raise ValueError(
+                    "selection='pallas' requires the fused dense kernel "
+                    "(L2/IP, fp32 compute, tile-divisible shapes)"
+                )
             fn = _ivf_dense_fn(self.metric, top_k, nprobe, self.compute_dtype)
             return fn(
                 dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
@@ -500,6 +600,28 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"], dev["alive"],
             dev["offsets"], dev["lens"], q, device_i32(ms),
         )
+
+    def describe_scan(self, batch: int, nprobe: Optional[int] = None) -> str:
+        """Which kernel a (batch, nprobe) query would run: 'probe',
+        'dense-xla', or 'dense-pallas'. Benchmark rows record this so a QPS
+        number is never quoted without its code path."""
+        if not self._built:
+            return "buffer"
+        dev = self._sync()
+        np_eff = min(nprobe or self.nprobe, dev["k_actual"])
+        mode = pick_scan_mode(
+            self.scan_mode, dev["xperm"].shape[0], np_eff, dev["l_pad"],
+            batch=batch,
+        )
+        if mode != "dense":
+            return "probe"
+        if pallas_dense_ok(
+            self.selection, self.metric, self.compute_dtype,
+            dev["xperm"].shape[0], dev["cents"].shape[0], batch,
+            self._main_n, self._main_n,
+        ):
+            return "dense-pallas"
+        return "dense-xla"
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -500,11 +500,13 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             return self._sync_locked()
 
     def _host_tables(self) -> dict:
+        from pyrope_tpu.index.ivf_flat import slab_pad
+
         kc = self._lens.shape[0]
         kpad = round_up(max(kc, 1), 8)
         l_pad = int(round_up(max(int(self._lens.max()) if kc else 1, 1), 128))
         n = self._codes.shape[0]
-        npad = round_up(n, 8) + l_pad
+        npad = slab_pad(n, l_pad)
         alive = np.zeros(npad, bool)
         alive[:n] = self._alive
         cents = np.zeros((kpad, self.dim), np.float32)
@@ -595,17 +597,53 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
 
     def _run_device(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
         """Dispatch the jitted query: pure ADC, or ADC-shortlist + exact
-        rerank when ``refine`` is enabled."""
-        from pyrope_tpu.index.ivf_flat import pick_scan_mode
+        rerank when ``refine`` is enabled.
+
+        With ``refine > 0`` the two scan modes return DIFFERENT hit sets
+        (dense exact-scans the rerank slab; probe reranks an ADC shortlist),
+        so 'auto' resolves by index size only — never by batch — keeping
+        results batch-invariant for a given index. With ``refine == 0`` both
+        modes score identical ADC sums and auto may pick by traffic."""
+        from pyrope_tpu.index.ivf_flat import DENSE_MAX_ROWS, pick_scan_mode
 
         search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
-        mode = pick_scan_mode(
-            self.scan_mode, dev["codes"].shape[0], nprobe, dev["l_pad"],
-            batch=q.shape[0],
-        )
+        if self.scan_mode == "auto" and self.refine > 0:
+            from pyrope_tpu.index.ivf_flat import DENSE_MAX_ELEMS
+
+            npad = dev["codes"].shape[0]
+            mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
+            if q.shape[0] * npad > DENSE_MAX_ELEMS:
+                mode = "probe"  # OOM guard outranks batch-invariance
+        else:
+            mode = pick_scan_mode(
+                self.scan_mode, dev["codes"].shape[0], nprobe, dev["l_pad"],
+                batch=q.shape[0],
+            )
         if mode == "dense":
             if self.refine > 0:
+                from pyrope_tpu.index.ivf_flat import (
+                    _ivf_dense_pallas_fn,
+                    pallas_dense_ok,
+                )
+
+                if pallas_dense_ok(
+                    "auto", search_metric, None, dev["xraw"].shape[0],
+                    dev["cents"].shape[0], q.shape[0], ms,
+                    self._codes.shape[0],
+                ):
+                    # fused Pallas dense scan of the rerank slab; bf16
+                    # storage is promoted to fp32 in-kernel so scores match
+                    # the XLA dense-exact path (see _ivfpq_dense_exact_fn)
+                    fn = _ivf_dense_pallas_fn(
+                        search_metric, top_k, nprobe, promote=True,
+                        probe_metric=probe_metric,
+                    )
+                    return fn(
+                        dev["cents"], dev["cvalid"], dev["xraw"],
+                        dev["xsqnorm"], dev["alive"], dev["offsets"],
+                        dev["lens"], dev["crow"], q, device_i32(ms),
+                    )
                 fn = _ivfpq_dense_exact_fn(
                     search_metric, top_k, nprobe, probe_metric=probe_metric,
                 )
@@ -654,6 +692,48 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         nprobe = min(options.nprobe or self.nprobe, dev["k_actual"])
         ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
         return self._run_device(dev, q, top_k, nprobe, ms)
+
+    def describe_scan(self, batch: int, nprobe: Optional[int] = None) -> str:
+        """Which kernel a (batch, nprobe) query would run — recorded in
+        bench rows so an 'IVF-PQ' QPS number always names its code path
+        (VERDICT r2: the 100k dense rows measure an exact bf16 scan of the
+        rerank slab, not ADC): 'probe-adc', 'probe-adc+rerank', 'dense-adc',
+        'dense-exact-xla', or 'dense-exact-pallas'."""
+        if not self._built:
+            return "buffer"
+        dev = self._sync()
+        np_eff = min(nprobe or self.nprobe, dev["k_actual"])
+        from pyrope_tpu.index.ivf_flat import (
+            DENSE_MAX_ELEMS,
+            DENSE_MAX_ROWS,
+            pallas_dense_ok,
+            pick_scan_mode,
+        )
+
+        npad = dev["codes"].shape[0]
+        if self.scan_mode == "auto" and self.refine > 0:
+            mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
+            if batch * npad > DENSE_MAX_ELEMS:
+                mode = "probe"
+        else:
+            mode = pick_scan_mode(
+                self.scan_mode, npad, np_eff, dev["l_pad"], batch=batch
+            )
+        if mode == "dense":
+            if self.refine == 0:
+                return "dense-adc"
+            search_metric = (
+                Metric.INNER_PRODUCT if self.metric == Metric.COSINE
+                else self.metric
+            )
+            if pallas_dense_ok(
+                "auto", search_metric, None, dev["xraw"].shape[0],
+                dev["cents"].shape[0], batch, self._codes.shape[0],
+                self._codes.shape[0],
+            ):
+                return "dense-exact-pallas"
+            return "dense-exact-xla"
+        return "probe-adc+rerank" if self.refine > 0 else "probe-adc"
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -41,22 +41,16 @@ DEFAULT_BATCH_TILE = 64
 NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captured by kernels)
 
 
-def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
-                 run_v, run_i, *, k: int, metric: Metric, row_tile: int):
-    n_idx = pl.program_id(1)
-    n_tiles = pl.num_programs(1)
-
-    @pl.when(n_idx == 0)
-    def _():
-        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
-        run_i[:] = jnp.full_like(run_i, -1)
-
-    q = q_ref[:]                                   # [Bt, D]
-    x = x_ref[:]                                   # [T, D]
+def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
+    """Score one corpus tile on the MXU: q [Bt, D], x [T, D] -> [Bt, T]."""
     # fp32 operands MUST pin HIGHEST: the MXU's default fp32 matmul runs
     # bf16 passes, which silently demoted the "exact" fp32 config to bf16
     # scores (measured recall 0.9828 instead of 1.0). bf16 slabs keep the
-    # fast default.
+    # fast default unless promote_fp32 asks for the exact-rerank convention
+    # (operands promoted to fp32, HIGHEST — storage rounding is then the
+    # only inexactness, matching ops/distance.rerank_exact).
+    if promote_fp32:
+        x = x.astype(jnp.float32)
     prec = (
         jax.lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     )
@@ -68,18 +62,16 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
     )                                              # [Bt, T] fp32 accumulate
     if metric == Metric.L2:
         qq = jnp.sum(q.astype(jnp.float32) ** 2, axis=-1, keepdims=True)
-        scores = -jnp.maximum(qq - 2.0 * dots + sq_ref[:][None, :], 0.0)
-    else:  # IP (cosine rows pre-normalized)
-        scores = dots
+        return -jnp.maximum(qq - 2.0 * dots + sq[None, :], 0.0)
+    return dots  # IP (cosine rows pre-normalized)
 
-    base = n_idx * row_tile
-    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
-    mask = alive_ref[:][None, :] & (rows < ms_ref[0])
-    scores = jnp.where(mask, scores, NEG_INF)
 
-    # threshold gate: merging costs k extract-max rounds, but most tiles
-    # contribute nothing once the running kth-best is high — pay one max
-    # round always, and the full merge only when some row improves
+def _merge_tile(run_v, run_i, scores, rows, *, k: int):
+    """Merge a tile's masked scores into the [Bt, k] running top-k scratch.
+
+    threshold gate: merging costs k extract-max rounds, but most tiles
+    contribute nothing once the running kth-best is high — pay one max
+    round always, and the full merge only when some row improves."""
     tile_max = jnp.max(scores, axis=1, keepdims=True)         # [Bt, 1]
     theta = run_v[:, k - 1 : k]                               # kth best per row
     need_merge = jnp.any(tile_max > theta)
@@ -108,6 +100,25 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
             cand_v = jnp.where(picked, NEG_INF, cand_v)
         run_v[:] = jnp.concatenate(new_v, axis=1)
         run_i[:] = jnp.concatenate(new_i, axis=1)
+
+
+def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
+                 run_v, run_i, *, k: int, metric: Metric, row_tile: int):
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    scores = _tile_scores(q_ref[:], x_ref[:], sq_ref[:], metric=metric)
+
+    base = n_idx * row_tile
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
+    mask = alive_ref[:][None, :] & (rows < ms_ref[0])
+    scores = jnp.where(mask, scores, NEG_INF)
+    _merge_tile(run_v, run_i, scores, rows, k=k)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -185,5 +196,148 @@ def pallas_flat_topk(
     # kernels cannot capture jnp -inf, so missing hits carry the finite
     # sentinel internally; restore the masked_topk convention (-inf score,
     # idx -1) so isfinite-based missing-hit detection works downstream
+    vals = jnp.where(idx < 0, -jnp.inf, vals)
+    return vals, idx
+
+
+# ---- fused dense-mask IVF scan ---------------------------------------------
+
+def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
+                     vals_ref, idx_ref, run_v, run_i,
+                     *, k: int, metric: Metric, row_tile: int,
+                     promote_fp32: bool):
+    """Flat-scan kernel + probe-membership mask (the dense IVF scan).
+
+    A corpus row survives iff its cluster is in the query's probe set. The
+    per-(query, row) membership is recovered WITHOUT a gather (TPUs have no
+    fast per-lane gather): probed [Bt, Kp] is a 0/1 table scattered outside
+    the kernel, the tile's one-hot cluster map oh[t, c] = (crow[t] == c) is
+    built from an iota, and membership = probed @ ohᵀ — one small MXU
+    matmul whose 0/1 products are exact in any precision. This replaces the
+    XLA dense path's [B, N] fp32 score materialization + [B, N] int32
+    allowed_row gather (index/ivf_flat.py dense_probe_mask) with zero HBM
+    score traffic.
+    """
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    scores = _tile_scores(q_ref[:], x_ref[:], sq_ref[:], metric=metric,
+                          promote_fp32=promote_fp32)
+
+    crow = crow_ref[:]                                       # [T]
+    kpad = probed_ref.shape[1]
+    oh = (
+        crow[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (row_tile, kpad), 1)
+    ).astype(jnp.float32)                                    # [T, Kp]
+    member = jax.lax.dot_general(
+        probed_ref[:], oh,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [Bt, T]
+    mask = alive_ref[:][None, :] & (member > 0.5)
+
+    base = n_idx * row_tile
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
+    scores = jnp.where(mask, scores, NEG_INF)
+    _merge_tile(run_v, run_i, scores, rows, k=k)
+
+    @pl.when(n_idx == n_tiles - 1)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
+               kpad: int, x_dtype: str, row_tile: int, batch_tile: int,
+               promote_fp32: bool, interpret: bool):
+    grid = (b_pad // batch_tile, n_pad // row_tile)
+    kernel = functools.partial(
+        _ivf_scan_kernel, k=k, metric=metric, row_tile=row_tile,
+        promote_fp32=promote_fp32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((batch_tile, d), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # q
+            pl.BlockSpec((row_tile, d), lambda b, n: (n, 0),
+                         memory_space=pltpu.VMEM),                     # x tile
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # sqnorm
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # alive
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # crow
+            pl.BlockSpec((batch_tile, kpad), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # probed
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, k), jnp.float32),
+            pltpu.VMEM((batch_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+# membership matmul costs ~kpad MACs/row next to the score matmul's D; cap
+# the cluster-table width so the mask never dominates the scan (the 1M
+# nlist=1000 dense regime stays on the XLA kernel until the windowed
+# variant lands)
+PALLAS_IVF_MAX_KPAD = 512
+
+
+def pallas_ivf_topk(
+    q: jax.Array,
+    x: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    crow: jax.Array,
+    probed: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    *,
+    promote_fp32: bool = False,
+    row_tile: int = DEFAULT_ROW_TILE,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused dense-mask IVF scan + exact top-k (full-scan semantics: the
+    max_scans budget is NOT applied here — callers fall back to the XLA
+    dense/probe kernels when a budget is set, where eff < lens matters).
+
+    q [B, D]; x [N, D] slab (cluster-major); crow [N] cluster-of-row;
+    probed [B, Kp] 0/1 fp32 probe table. B, N pre-padded to the tiles.
+    Returns ([B, k], [B, k]) with the masked_topk missing-hit convention."""
+    metric = Metric.parse(metric)
+    if metric == Metric.COSINE:
+        raise ValueError("pre-normalize rows and use IP for cosine")
+    b, d = q.shape
+    n = x.shape[0]
+    kpad = probed.shape[1]
+    row_tile = min(row_tile, n)
+    batch_tile = min(batch_tile, b)
+    if n % row_tile or b % batch_tile:
+        raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    fn = _build_ivf(metric, k, b, n, d, kpad, str(x.dtype), row_tile,
+                    batch_tile, promote_fp32, interpret)
+    vals, idx = fn(q, x, sqnorm, alive, crow, probed)
     vals = jnp.where(idx < 0, -jnp.inf, vals)
     return vals, idx

@@ -42,6 +42,12 @@ def upload_rows(
     Returns a single device array of shape [pad_to or N, ...] (zero-padded
     rows at the tail), dtype ``dtype`` (default: x.dtype). The result is
     NOT fetched back; callers fence as usual.
+
+    Aliasing: on backends where ``jax.device_put`` is zero-copy (the CPU
+    backend), same-dtype chunks may ALIAS the caller's host memory — callers
+    must treat ``x`` as frozen until the next sync (index locking already
+    guarantees this: slabs are replaced, never written in place, while a
+    device view is live).
     """
     x = np.asarray(x)
     n = x.shape[0]

@@ -73,17 +73,23 @@ def train(
 
 
 def maybe_export_onnx(model, path: Path) -> bool:
-    """ONNX export when skl2onnx/onnx are installed (they are not in this
-    image). Mirrors the reference's full flow — convert, structural checker,
-    then an onnxruntime smoke inference that the exported graph actually
-    answers on a feature row before the artifact is staged
-    (ref: src/Pyrope.AISidecar/train_model.py:96-130)."""
+    """ONNX export mirroring the reference's full flow — convert, structural
+    checker, then a smoke inference that the exported graph actually answers
+    on a feature row before the artifact is staged
+    (ref: src/Pyrope.AISidecar/train_model.py:96-130).
+
+    Preferred path: skl2onnx + onnx.checker (+ optional onnxruntime smoke),
+    exactly like the reference, when those libraries are installed. This
+    image ships none of them, so the default path is the hand-rolled
+    serializer (sidecar/onnx_emit.py): a real TreeEnsembleClassifier
+    ModelProto emitted directly, structurally checked, and smoke-evaluated
+    by decoding the emitted bytes back."""
     try:
         from skl2onnx import convert_sklearn  # type: ignore
         from skl2onnx.common.data_types import FloatTensorType  # type: ignore
         import onnx  # type: ignore
     except ImportError:
-        return False
+        return _export_onnx_handrolled(model, path)
     onx = convert_sklearn(
         model, initial_types=[("input", FloatTensorType([None, len(FEATURES)]))]
     )
@@ -101,6 +107,20 @@ def maybe_export_onnx(model, path: Path) -> bool:
         out = sess.run(None, {"input": probe})
         if not out:
             raise RuntimeError("onnx export produced a graph with no outputs")
+    path.write_bytes(blob)
+    return True
+
+
+def _export_onnx_handrolled(model, path: Path) -> bool:
+    """Library-free export: emit, check, smoke-infer, stage."""
+    from pyrope_tpu.sidecar import onnx_emit
+
+    blob = onnx_emit.gbdt_to_onnx(model, len(FEATURES))
+    onnx_emit.check_model(blob)  # structural checker (reference flow step 2)
+    probe = np.zeros((1, len(FEATURES)), np.float32)
+    labels, probs = onnx_emit.evaluate(blob, probe)  # smoke inference (step 3)
+    if not labels or len(probs[0]) != 2:
+        raise RuntimeError("onnx export produced a graph with no outputs")
     path.write_bytes(blob)
     return True
 

@@ -18,12 +18,13 @@ Semantics mirrored (cited):
   search scores with ADC tables ONLY — the reference has no rerank stage
   (ref: IvfPqVectorIndex.cs:152-199).
 - HNSW: sequential greedy upper descent + best-first SearchLayer(ef) at
-  layer 0 (ref: HnswVectorIndex.cs:229-247, 281-325). The oracle reuses the
-  rebuild's host-built graph (same construction algorithm as the reference:
-  SearchLayer(efConstruction) + closest-M selection, :141-162, 327-331) and
-  searches it with the rebuild's sequential host path — isolating the
-  device BEAM against the reference's sequential search on an identical
-  graph (also VERDICT r1 #4).
+  layer 0 (ref: HnswVectorIndex.cs:229-247, 281-325). ``ref_hnsw_search``
+  runs on WHATEVER graph the passed index holds: bench.py's ``recall_ref``
+  column passes the rebuild's serving graph (diversity-heuristic selection
+  by default — isolating device beam vs sequential search on an identical
+  graph), while the ``recall_ref_e2e`` column passes a closest-M graph
+  (``neighbor_heuristic=False``, the reference's SelectNeighbors :327-331)
+  so the number is the reference's own end-to-end recall.
 
 Exact seed-level equality with the C# reference is impossible (System.Random
 != numpy PCG64); what the oracle fixes is the algorithm and hyperparameters,

@@ -183,8 +183,13 @@ def test_pick_scan_mode_auto_thresholds():
     assert pick_scan_mode("auto", 100_000, 3, 1152) == "dense"
     # huge slab, tiny probed volume -> probe
     assert pick_scan_mode("auto", 8_000_000, 3, 1152) == "probe"
-    # huge slab but probed volume rivals a full scan -> dense
-    assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=64) == "dense"
+    # huge slab but probed volume rivals a full scan -> dense ... unless the
+    # [B, npad] transients would blow past the HBM cap (ADVICE r2: factor
+    # batch into the shortcut so an unusual bucket cannot OOM the chip)
+    assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=32) == "dense"
+    assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=64) == "probe"
+    assert pick_scan_mode("auto", 262_144, 3, 1152, batch=1024) == "dense"
+    assert pick_scan_mode("auto", 262_144, 3, 1152, batch=4096) == "probe"
     # the sparse gather blowup is PER QUERY: a bigger batch tips wide-probe
     # configs to dense (one slab pass amortizes over ~256 queries)
     assert pick_scan_mode("auto", 1_000_000, 96, 1408, batch=8) == "probe"

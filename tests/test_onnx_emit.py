@@ -1,0 +1,104 @@
+"""Hand-rolled ONNX emitter: the artifact must be real, structurally valid,
+and SEMANTICALLY equal to the sklearn model it serializes (stronger than the
+reference's structural check — ref: src/Pyrope.AISidecar/train_model.py:
+96-130 convert + checker + ort smoke)."""
+
+import numpy as np
+import pytest
+from sklearn.ensemble import GradientBoostingClassifier
+
+from pyrope_tpu.sidecar import onnx_emit
+
+
+@pytest.fixture(scope="module")
+def model():
+    rng = np.random.default_rng(0)
+    x = rng.random((400, 4))
+    y = ((x[:, 1] > 0.3) | (x[:, 2] > 0.8)).astype(int)
+    m = GradientBoostingClassifier(random_state=42, n_estimators=20)
+    m.fit(x, y)
+    return m
+
+
+def test_emit_check_roundtrip(model):
+    blob = onnx_emit.gbdt_to_onnx(model, 4)
+    info = onnx_emit.check_model(blob)
+    assert info["op_type"] == "TreeEnsembleClassifier"
+    assert info["domain"] == "ai.onnx.ml"
+    assert ("ai.onnx.ml", 1) in info["opsets"]
+    assert info["inputs"][0]["name"] == "input"
+    assert info["inputs"][0]["dims"] == [None, 4]
+    assert {o["name"] for o in info["outputs"]} == {"label", "probabilities"}
+    # every boosting stage landed in the ensemble
+    assert max(info["attrs"]["nodes_treeids"]) == 19
+    assert info["attrs"]["post_transform"] == "LOGISTIC"
+
+
+def test_predictions_match_sklearn_exactly(model):
+    blob = onnx_emit.gbdt_to_onnx(model, 4)
+    rng = np.random.default_rng(1)
+    xt = rng.random((300, 4))
+    labels, probs = onnx_emit.evaluate(blob, xt)
+    assert (np.asarray(labels) == model.predict(xt)).all()
+    assert np.abs(np.asarray(probs) - model.predict_proba(xt)).max() < 1e-6
+
+
+def test_negative_thresholds_and_weights_survive_the_wire(model):
+    """float32 little-endian floats + two's-complement varints: negative
+    tree thresholds/weights and leaf values must decode bit-faithfully."""
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((300, 4))  # negative feature values
+    y = (x[:, 0] + x[:, 3] > 0).astype(int)
+    m = GradientBoostingClassifier(random_state=7, n_estimators=10)
+    m.fit(x, y)
+    blob = onnx_emit.gbdt_to_onnx(m, 4)
+    labels, probs = onnx_emit.evaluate(blob, x[:50])
+    assert (np.asarray(labels) == m.predict(x[:50])).all()
+
+
+def test_check_model_rejects_garbage():
+    with pytest.raises(Exception):
+        onnx_emit.check_model(b"not a protobuf at all \x99\x01")
+
+
+def test_multiclass_rejected(model):
+    class Fake:
+        n_classes_ = 3
+
+    with pytest.raises(ValueError):
+        onnx_emit.gbdt_to_onnx(Fake(), 4)
+
+
+def test_train_produces_real_onnx_artifact(tmp_path):
+    """The full train() flow stages BOTH a joblib artifact and a real .onnx
+    next to it (the reference ships policy_model.onnx; STATUS r2 claimed a
+    hand-rolled serializer that did not exist — this is it existing)."""
+    import json
+
+    from pyrope_tpu.sidecar import train_model as tm
+
+    log = tmp_path / "decisions.jsonl"
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        rows.append(json.dumps({
+            "metrics": {
+                "qps": float(rng.random() * 100),
+                "cache_miss_rate": float(rng.random()),
+                "p99_latency_ms": float(rng.random() * 100),
+                "cpu_utilization": float(rng.random()),
+            }
+        }))
+    log.write_text("\n".join(rows))
+    version = tm.train(log, tmp_path / "staging")
+    onnx_path = tmp_path / "staging" / f"{version}.onnx"
+    assert onnx_path.exists()
+    info = onnx_emit.check_model(onnx_path.read_bytes())
+    assert info["op_type"] == "TreeEnsembleClassifier"
+    # and the onnx artifact agrees with the joblib one on the probe grid
+    probe = rng.random((20, 4)) * [100, 1, 100, 1]
+    labels, _ = onnx_emit.evaluate(onnx_path.read_bytes(), probe)
+    import joblib
+
+    art = joblib.load(tmp_path / "staging" / f"{version}.joblib")
+    assert (np.asarray(labels) == art["model"].predict(probe)).all()

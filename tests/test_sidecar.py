@@ -438,9 +438,22 @@ class TestOnnxExportGate:
             maybe_export_onnx(object(), out)
         assert not out.exists()  # nothing staged on a failed smoke inference
 
-    def test_missing_toolchain_degrades(self, tmp_path):
+    def test_missing_toolchain_uses_handrolled_emitter(self, tmp_path):
+        """Without skl2onnx/onnx the export falls back to the hand-rolled
+        serializer (sidecar/onnx_emit.py) and still stages a REAL .onnx
+        artifact (full semantics covered in tests/test_onnx_emit.py)."""
+        import numpy as np
+        from sklearn.ensemble import GradientBoostingClassifier
+
+        from pyrope_tpu.sidecar import onnx_emit
         from pyrope_tpu.sidecar.train_model import maybe_export_onnx
 
+        rng = np.random.default_rng(3)
+        x = rng.random((80, 4))
+        y = (x[:, 0] > 0.5).astype(int)
+        model = GradientBoostingClassifier(random_state=42, n_estimators=5)
+        model.fit(x, y)
         out = tmp_path / "m.onnx"
-        assert maybe_export_onnx(object(), out) is False  # image has no onnx
-        assert not out.exists()
+        assert maybe_export_onnx(model, out) is True  # image has no onnx
+        info = onnx_emit.check_model(out.read_bytes())
+        assert info["op_type"] == "TreeEnsembleClassifier"
