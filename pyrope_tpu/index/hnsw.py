@@ -53,8 +53,12 @@ from pyrope_tpu.utils.shapes import batch_bucket, round_up
 DEFAULT_M = 16            # ref :30-40
 DEFAULT_EF_CONSTRUCTION = 200
 DEFAULT_EF_SEARCH = 10
-UPPER_GREEDY_STEPS = 16   # fixed greedy-descent iterations per upper level
+UPPER_GREEDY_STEPS = 16   # fixed descent iterations per upper level
 EXPAND_PER_STEP = 8       # E: pool entries expanded per beam iteration
+# T: frontier width of the upper-layer descent. Measured at 10k clustered
+# (bootstrap graph): T=1 (the reference's greedy) leaves 3/256 queries at
+# recall 0 (cluster-level local maxima), T=4 leaves 1, T=8 none (0.9992).
+DESCENT_BEAM = 8
 
 
 def beam_schedule(ef: int, top_k: int) -> tuple[int, int]:
@@ -94,21 +98,46 @@ def beam_search_body(
                 s = dots
             return jnp.where(ids >= 0, s, -jnp.inf)
 
-        # ---- upper-layer greedy descent (ref :229-247) -------------------
-        cur = jnp.full((b,), entry, jnp.int32)
-        cur_s = node_scores(cur[:, None])[:, 0]
+        # ---- upper-layer descent (ref :229-247, widened) ------------------
+        # The reference walks a single greedy pointer; a width-T frontier
+        # costs T gathers but escapes the cluster-level local maxima that a
+        # bulk-built routing layer (and occasionally the incremental one)
+        # presents — measured on clustered corpora as the difference
+        # between dead queries (recall 0) and full recall. T duplicates are
+        # masked by a sort so the frontier holds T DISTINCT best nodes.
+        t_beam = DESCENT_BEAM
+
+        def dedup_sorted(ids, s):
+            order = jnp.argsort(ids, axis=1)
+            sid = jnp.take_along_axis(ids, order, axis=1)
+            ss = jnp.take_along_axis(s, order, axis=1)
+            dup = jnp.concatenate(
+                [jnp.zeros((ids.shape[0], 1), bool), sid[:, 1:] == sid[:, :-1]],
+                axis=1,
+            )
+            return sid, jnp.where(dup | (sid < 0), -jnp.inf, ss)
+
+        fr = jnp.full((b, t_beam), entry, jnp.int32)
+        fr_s = node_scores(fr)
+        fr_s = fr_s.at[:, 1:].set(-jnp.inf)  # one live copy of the entry
         for lev in range(n_upper - 1, -1, -1):
             def body(_, carry):
-                cur, cur_s = carry
-                nbrs = jnp.take(adj_up[lev], cur, axis=0)      # [B, M]
-                s = node_scores(nbrs)
-                bi = jnp.argmax(s, axis=-1)
-                bs = jnp.take_along_axis(s, bi[:, None], axis=1)[:, 0]
-                better = bs > cur_s
-                nid = jnp.take_along_axis(nbrs, bi[:, None], axis=1)[:, 0]
-                return jnp.where(better, nid, cur), jnp.maximum(cur_s, bs)
+                fr, fr_s = carry
+                nbrs = jnp.take(adj_up[lev], jnp.maximum(fr, 0), axis=0)
+                nbrs = jnp.where(
+                    jnp.isfinite(fr_s)[:, :, None], nbrs, -1
+                ).reshape(b, -1)                                 # [B, T*M]
+                all_ids = jnp.concatenate([fr, nbrs], axis=1)
+                all_s = jnp.concatenate([fr_s, node_scores(nbrs)], axis=1)
+                sid, ss = dedup_sorted(all_ids, all_s)
+                fr_s, pos = jax.lax.top_k(ss, t_beam)
+                fr = jnp.take_along_axis(sid, pos, axis=1)
+                fr = jnp.where(jnp.isfinite(fr_s), fr, -1)
+                return fr, fr_s
 
-            cur, cur_s = jax.lax.fori_loop(0, UPPER_GREEDY_STEPS, body, (cur, cur_s))
+            fr, fr_s = jax.lax.fori_loop(
+                0, UPPER_GREEDY_STEPS, body, (fr, fr_s)
+            )
 
         # ---- layer-0 batched beam (replaces sequential SearchLayer) ------
         deg = adj0.shape[1]
@@ -120,9 +149,14 @@ def beam_search_body(
         expanded = jnp.zeros((b, pool), bool)
         visited = jnp.zeros((b, n_nodes), bool)
 
-        pool_ids = pool_ids.at[:, 0].set(cur)
-        pool_s = pool_s.at[:, 0].set(cur_s)
-        visited = jax.vmap(lambda v, i: v.at[i].set(True))(visited, cur)
+        # seed with the whole descent frontier (distinct by construction)
+        pool_ids = pool_ids.at[:, :t_beam].set(
+            jnp.where(jnp.isfinite(fr_s), fr, -1)
+        )
+        pool_s = pool_s.at[:, :t_beam].set(fr_s)
+        visited = jax.vmap(lambda v, i, ok: v.at[i].max(ok))(
+            visited, jnp.maximum(fr, 0), jnp.isfinite(fr_s)
+        )
 
         iota_pool = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pool), 2)
 
@@ -202,18 +236,34 @@ class HnswIndex(VectorIndex):
         ef_search: int = DEFAULT_EF_SEARCH,
         seed: int = 42,
         neighbor_heuristic: bool = True,
+        build_mode: str = "auto",
     ):
         """``neighbor_heuristic``: diversity-heuristic neighbor selection
         (HNSW paper Alg. 4) instead of the reference's closest-M
         (ref: HnswVectorIndex.cs SelectNeighbors :327-331). Spreading links
         across directions lets the beam escape local clusters — measured
-        recall wins at equal ef. False restores reference selection."""
+        recall wins at equal ef. False restores reference selection.
+
+        ``build_mode`` picks the BULK construction path for ``add_batch``
+        into an empty index: 'incremental' = the sequential native C++
+        builder (the reference's insert algorithm); 'bootstrap' = the
+        device-bootstrapped pipeline (ops/hnsw_bootstrap.py — every
+        distance eval an MXU matmul; cuts the 1M build from ~33 min of
+        single-core inserts to device minutes); 'auto' = bootstrap at
+        n >= 200k, incremental below. Incremental per-row ``add`` is
+        unaffected. Bootstrap requires ``neighbor_heuristic`` (it IS the
+        selection rule); closest-M indexes fall back to incremental."""
+        if build_mode not in ("auto", "incremental", "bootstrap"):
+            raise ValueError(
+                f"build_mode must be auto|incremental|bootstrap, got {build_mode!r}"
+            )
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.m = int(m)
         self.ef_construction = int(ef_construction)
         self.ef_search = int(ef_search)  # mutable, ref :30-40
         self.neighbor_heuristic = bool(neighbor_heuristic)
+        self.build_mode = build_mode
         self._ml = 1.0 / math.log(self.m)  # λ = 1/ln(m), ref :351-357
         self._rng = np.random.default_rng(seed)
 
@@ -449,7 +499,6 @@ class HnswIndex(VectorIndex):
             or len(set(ids)) != len(ids)
         ):
             return super().add_batch(ids, vecs)
-        from pyrope_tpu.native import hnsw_build_native
 
         n = vecs.shape[0]
         if self.metric == Metric.COSINE:
@@ -458,11 +507,27 @@ class HnswIndex(VectorIndex):
         # same geometric level draw as add() (ref :351-357)
         u = np.maximum(self._rng.random(n), 1e-12)
         levels = (-np.log(u) * self._ml).astype(np.int32)
-        built = hnsw_build_native(
-            vecs, levels, self.m, self.ef_construction,
-            metric_is_l2=(self.metric == Metric.L2),
-            heuristic=self.neighbor_heuristic,
+
+        use_bootstrap = self.neighbor_heuristic and (
+            self.build_mode == "bootstrap"
+            or (self.build_mode == "auto" and n >= 200_000)
         )
+        built = None
+        if use_bootstrap:
+            from pyrope_tpu.ops.hnsw_bootstrap import bootstrap_build
+
+            adj0, adj_up_arr, entry, top_level, levels = bootstrap_build(
+                vecs, levels, self.m, self.metric,
+            )
+            built = (adj0, adj_up_arr, entry, top_level)
+        if built is None:
+            from pyrope_tpu.native import hnsw_build_native
+
+            built = hnsw_build_native(
+                vecs, levels, self.m, self.ef_construction,
+                metric_is_l2=(self.metric == Metric.L2),
+                heuristic=self.neighbor_heuristic,
+            )
         if built is None:
             return super().add_batch(ids, vecs)
         adj0, adj_up, entry, top_level = built

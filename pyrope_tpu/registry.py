@@ -47,7 +47,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
         tail: VectorIndex = HnswIndex(
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
-            neighbor_heuristic=p.neighbor_heuristic,
+            neighbor_heuristic=p.neighbor_heuristic, build_mode=p.build_mode,
         )
     elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(

@@ -89,6 +89,7 @@ class IndexParams:
     scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
     neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
+    build_mode: str = "auto"    # HNSW bulk build: auto | incremental | bootstrap
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -126,6 +127,13 @@ class IndexParams:
             elif kk in ("neighbor_heuristic", "neighborheuristic"):
                 p.neighbor_heuristic = bool(val) if not isinstance(val, str) \
                     else val.lower() in ("1", "true", "yes", "on")
+            elif kk in ("build_mode", "buildmode"):
+                bm = str(val).lower()
+                if bm not in ("auto", "incremental", "bootstrap"):
+                    raise ValueError(
+                        f"build_mode must be auto|incremental|bootstrap, got {val!r}"
+                    )
+                p.build_mode = bm
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p

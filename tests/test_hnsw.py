@@ -99,3 +99,82 @@ def test_batch_matches_single():
     for i in range(4):
         single = idx.search(q[i], 5, SearchOptions(ef_search=50))
         assert [h.id for h in batch[i]] == [h.id for h in single]
+
+
+# ---- device-bootstrapped bulk construction ---------------------------------
+
+
+def test_bootstrap_build_recall_parity():
+    """The device-bootstrapped builder (ops/hnsw_bootstrap.py) must land
+    within a few recall points of the incremental builder on the same
+    corpus — construction differs (bulk KNN + heuristic vs sequential
+    inserts), so parity is measured in recall, not graph bytes."""
+    import numpy as np
+
+    from pyrope_tpu.utils.datasets import (
+        ground_truth,
+        recall_at_k,
+        synthetic_clustered,
+        synthetic_clustered_queries,
+    )
+
+    n, dim = 4000, 16
+    base = synthetic_clustered(n, dim, n_clusters=20)
+    q = synthetic_clustered_queries(32, dim, n_clusters=20)
+    truth = ground_truth(base, q, 10, "L2")
+    ids = [str(i) for i in range(n)]
+    rec = {}
+    for mode in ("incremental", "bootstrap"):
+        idx = HnswIndex(dim, "L2", m=16, ef_construction=100, ef_search=50,
+                        build_mode=mode)
+        idx.add_batch(ids, base)
+        res = idx.search_batch(q, 10)
+        rows = np.array(
+            [[int(h.id) for h in hits] + [-1] * (10 - len(hits)) for hits in res]
+        )
+        rec[mode] = recall_at_k(rows, truth, 10)
+    assert rec["bootstrap"] >= rec["incremental"] - 0.08
+    assert rec["bootstrap"] >= 0.85
+
+
+def test_bootstrap_graph_structure():
+    """Bootstrap graphs carry the same invariants the incremental builder
+    guarantees: in-range neighbor ids, no self loops, entry at top level,
+    upper-layer adjacency only among nodes of that level."""
+    import numpy as np
+
+    from pyrope_tpu.utils.datasets import synthetic
+
+    n, dim = 2000, 8
+    base = synthetic(n, dim)
+    idx = HnswIndex(dim, "L2", m=8, build_mode="bootstrap")
+    idx.add_batch([str(i) for i in range(n)], base)
+    adj0 = idx._adj0[:n]
+    assert adj0.max() < n
+    assert not any((adj0[i] == i).any() for i in range(n))
+    assert idx._levels[idx._entry] == idx._top_level
+    for lev, a in enumerate(idx._adj_up, start=1):
+        rows = np.flatnonzero((a[:n] >= 0).any(axis=1))
+        assert (idx._levels[rows] >= lev).all()
+        nbrs = a[rows]
+        assert (idx._levels[nbrs[nbrs >= 0]] >= lev).all()
+    # mutation after bulk build falls back to incremental insert
+    idx.add("new", np.full(dim, 0.5, np.float32))
+    assert idx.search(np.full(dim, 0.5, np.float32), 1)[0].id == "new"
+    idx.delete("17")
+    assert all(h.id != "17" for h in idx.search(base[17], 10))
+
+
+def test_bootstrap_requires_heuristic_falls_back():
+    """closest-M indexes (neighbor_heuristic=False) must not route to the
+    bootstrap path — it IS the heuristic selection rule."""
+    import numpy as np
+
+    from pyrope_tpu.utils.datasets import synthetic
+
+    base = synthetic(500, 8)
+    idx = HnswIndex(8, "L2", m=8, neighbor_heuristic=False,
+                    build_mode="bootstrap")
+    idx.add_batch([str(i) for i in range(500)], base)
+    assert idx.get_stats().count == 500
+    assert idx.search(base[3], 1)[0].id == "3"
