@@ -151,6 +151,11 @@ CONFIGS = {
     # scan makes wide probes run at flat-scan speed (see index/ivf_flat.py)
     "ivf100k_np96_b1024": ("IVF_FLAT", 100_000, 128,
                            {"nlist": 100, "nprobe": 96, "batch": 1024}),
+    # device batch 4096: each dispatch carries 4x the queries of b1024, so
+    # the ~1.8 ms/dispatch tunnel floor amortizes further — measures whether
+    # the recall-matched row is kernel-bound or dispatch-bound
+    "ivf100k_np96_b4096": ("IVF_FLAT", 100_000, 128,
+                           {"nlist": 100, "nprobe": 96, "batch": 4096}),
     "ivfpq100k_b1024": ("IVF_PQ", 100_000, 128,
                         {"nlist": 100, "pq_m": 4, "ksub": 256, "batch": 1024}),
     "ivfpq100k_m16_b1024": ("IVF_PQ", 100_000, 128,
@@ -539,6 +544,9 @@ def run_config(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="ivf100k_np96_b1024", choices=sorted(CONFIGS))
+    ap.add_argument("--configs", default=None,
+                    help="comma-separated config list run in ONE process "
+                         "(amortizes the 25-90s tunnel warmup across rows)")
     ap.add_argument("--all", action="store_true", help="run every config")
     ap.add_argument("--quick", action="store_true", help="small fast sanity run")
     ap.add_argument("--batch", type=int, default=64)
@@ -578,6 +586,11 @@ def main() -> None:
         args.duration = min(args.duration, 2.0)
     elif args.all:
         names = list(CONFIGS)
+    elif args.configs:
+        names = [n.strip() for n in args.configs.split(",") if n.strip()]
+        unknown = [n for n in names if n not in CONFIGS]
+        if unknown:
+            raise SystemExit(f"unknown configs: {unknown}")
     else:
         names = [args.config]
 

@@ -72,7 +72,8 @@ DENSE_MAX_ELEMS = 1 << 28
 
 
 def pick_scan_mode(
-    scan_mode: str, npad: int, nprobe: int, l_pad: int, batch: int = 64
+    scan_mode: str, npad: int, nprobe: int, l_pad: int, batch: int = 64,
+    pallas_ok: bool = False,
 ) -> str:
     """Resolve 'auto' to 'dense' or 'probe' by HBM-traffic model.
 
@@ -82,10 +83,18 @@ def pick_scan_mode(
     rows. Measured v5e crossovers (100k: dense 3-91x faster at any nprobe;
     1M nlist=1000 nprobe=3 small-batch: probe wins) sit on this model with
     a 2x safety margin toward probe.
+
+    ``pallas_ok``: the caller established this (batch, shape) is eligible
+    for the FUSED Pallas dense kernel, which streams corpus tiles with a
+    [B, k] VMEM running top-k and never materializes [B, npad] — the
+    DENSE_MAX_ELEMS OOM guard exists only for the XLA dense fallback's
+    transients, so it does not demote eligible batches (measured: b4096 at
+    100k demoted to probe ran 1.46k QPS vs 203k for the fused dense path
+    at b1024).
     """
     if scan_mode != "auto":
         return scan_mode
-    if batch * npad > DENSE_MAX_ELEMS:
+    if not pallas_ok and batch * npad > DENSE_MAX_ELEMS:
         return "probe"  # [B, npad] transients would not fit (see cap above)
     if npad <= DENSE_MAX_ROWS:
         return "dense"
@@ -565,16 +574,17 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         return self._run_scan(dev, q, top_k, nprobe, ms)
 
     def _run_scan(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
+        p_ok = pallas_dense_ok(
+            self.selection, self.metric, self.compute_dtype,
+            dev["xperm"].shape[0], dev["cents"].shape[0], q.shape[0],
+            ms, self._main_n,
+        )
         mode = pick_scan_mode(
             self.scan_mode, dev["xperm"].shape[0], nprobe, dev["l_pad"],
-            batch=q.shape[0],
+            batch=q.shape[0], pallas_ok=p_ok,
         )
         if mode == "dense":
-            if pallas_dense_ok(
-                self.selection, self.metric, self.compute_dtype,
-                dev["xperm"].shape[0], dev["cents"].shape[0], q.shape[0],
-                ms, self._main_n,
-            ):
+            if p_ok:
                 fn = _ivf_dense_pallas_fn(self.metric, top_k, nprobe)
                 return fn(
                     dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
@@ -609,19 +619,18 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             return "buffer"
         dev = self._sync()
         np_eff = min(nprobe or self.nprobe, dev["k_actual"])
-        mode = pick_scan_mode(
-            self.scan_mode, dev["xperm"].shape[0], np_eff, dev["l_pad"],
-            batch=batch,
-        )
-        if mode != "dense":
-            return "probe"
-        if pallas_dense_ok(
+        p_ok = pallas_dense_ok(
             self.selection, self.metric, self.compute_dtype,
             dev["xperm"].shape[0], dev["cents"].shape[0], batch,
             self._main_n, self._main_n,
-        ):
-            return "dense-pallas"
-        return "dense-xla"
+        )
+        mode = pick_scan_mode(
+            self.scan_mode, dev["xperm"].shape[0], np_eff, dev["l_pad"],
+            batch=batch, pallas_ok=p_ok,
+        )
+        if mode != "dense":
+            return "probe"
+        return "dense-pallas" if p_ok else "dense-xla"
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -604,34 +604,40 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         so 'auto' resolves by index size only — never by batch — keeping
         results batch-invariant for a given index. With ``refine == 0`` both
         modes score identical ADC sums and auto may pick by traffic."""
-        from pyrope_tpu.index.ivf_flat import DENSE_MAX_ROWS, pick_scan_mode
+        from pyrope_tpu.index.ivf_flat import (
+            DENSE_MAX_ROWS,
+            pallas_dense_ok,
+            pick_scan_mode,
+        )
 
         search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        # Fused-Pallas eligibility of the rerank-slab scan (refine>0 dense):
+        # that kernel streams tiles with a [B, k] running top-k, so the
+        # DENSE_MAX_ELEMS OOM guard (which protects the XLA fallback's
+        # [B, npad] transients) must not demote its batches.
+        p_ok = self.refine > 0 and pallas_dense_ok(
+            "auto", search_metric, None, dev["xraw"].shape[0],
+            dev["cents"].shape[0], q.shape[0], ms,
+            self._codes.shape[0],
+        )
         if self.scan_mode == "auto" and self.refine > 0:
             from pyrope_tpu.index.ivf_flat import DENSE_MAX_ELEMS
 
             npad = dev["codes"].shape[0]
             mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
-            if q.shape[0] * npad > DENSE_MAX_ELEMS:
+            if not p_ok and q.shape[0] * npad > DENSE_MAX_ELEMS:
                 mode = "probe"  # OOM guard outranks batch-invariance
         else:
             mode = pick_scan_mode(
                 self.scan_mode, dev["codes"].shape[0], nprobe, dev["l_pad"],
-                batch=q.shape[0],
+                batch=q.shape[0], pallas_ok=p_ok,
             )
         if mode == "dense":
             if self.refine > 0:
-                from pyrope_tpu.index.ivf_flat import (
-                    _ivf_dense_pallas_fn,
-                    pallas_dense_ok,
-                )
+                from pyrope_tpu.index.ivf_flat import _ivf_dense_pallas_fn
 
-                if pallas_dense_ok(
-                    "auto", search_metric, None, dev["xraw"].shape[0],
-                    dev["cents"].shape[0], q.shape[0], ms,
-                    self._codes.shape[0],
-                ):
+                if p_ok:
                     # fused Pallas dense scan of the rerank slab; bf16
                     # storage is promoted to fp32 in-kernel so scores match
                     # the XLA dense-exact path (see _ivfpq_dense_exact_fn)
@@ -711,28 +717,28 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         )
 
         npad = dev["codes"].shape[0]
+        search_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.COSINE
+            else self.metric
+        )
+        p_ok = self.refine > 0 and pallas_dense_ok(
+            "auto", search_metric, None, dev["xraw"].shape[0],
+            dev["cents"].shape[0], batch, self._codes.shape[0],
+            self._codes.shape[0],
+        )
         if self.scan_mode == "auto" and self.refine > 0:
             mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
-            if batch * npad > DENSE_MAX_ELEMS:
+            if not p_ok and batch * npad > DENSE_MAX_ELEMS:
                 mode = "probe"
         else:
             mode = pick_scan_mode(
-                self.scan_mode, npad, np_eff, dev["l_pad"], batch=batch
+                self.scan_mode, npad, np_eff, dev["l_pad"], batch=batch,
+                pallas_ok=p_ok,
             )
         if mode == "dense":
             if self.refine == 0:
                 return "dense-adc"
-            search_metric = (
-                Metric.INNER_PRODUCT if self.metric == Metric.COSINE
-                else self.metric
-            )
-            if pallas_dense_ok(
-                "auto", search_metric, None, dev["xraw"].shape[0],
-                dev["cents"].shape[0], batch, self._codes.shape[0],
-                self._codes.shape[0],
-            ):
-                return "dense-exact-pallas"
-            return "dense-exact-xla"
+            return "dense-exact-pallas" if p_ok else "dense-exact-xla"
         return "probe-adc+rerank" if self.refine > 0 else "probe-adc"
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:

@@ -147,17 +147,21 @@ def _chunked_select(x, sqnorm, node_ids: np.ndarray, cand: np.ndarray,
     chunk = min(CHUNK, n)
     fn = _select_fn(metric, r, deg)
     out = np.empty((n, deg), np.int32)
-    pad_node = np.zeros(chunk, np.int32)
-    pad_cand = np.full((chunk, r), -1, np.int32)
+    # dispatch every chunk asynchronously, fetch afterwards: a blocking
+    # per-chunk np.asarray turns each chunk into a full tunnel round trip
+    # (~245 serialized RTTs per pass at 1M rows)
+    pending = []
     for s in range(0, n, chunk):
         e = min(s + chunk, n)
         if e - s == chunk:
             nb, cb = node_ids[s:e], cand[s:e]
-        else:
-            pad_node[: e - s] = node_ids[s:e]
-            pad_cand[: e - s] = cand[s:e]
-            nb, cb = pad_node, pad_cand
-        res = fn(x, sqnorm, jnp.asarray(nb), jnp.asarray(cb))
+        else:  # fresh tail buffers: reuse would race the async upload
+            nb = np.zeros(chunk, np.int32)
+            cb = np.full((chunk, r), -1, np.int32)
+            nb[: e - s] = node_ids[s:e]
+            cb[: e - s] = cand[s:e]
+        pending.append((s, e, fn(x, sqnorm, jnp.asarray(nb), jnp.asarray(cb))))
+    for s, e, res in pending:
         out[s:e] = np.asarray(res)[: e - s]
     return out
 
@@ -283,11 +287,36 @@ def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
     np_eff = min(nprobe, kc)
     probe_sets = np.argsort(cd2, axis=1, kind="stable")[:, :np_eff].astype(np.int32)
 
+    # Plan every block up front and ship the probe/block tables to the
+    # device ONCE: the per-cluster `jnp.asarray(offsets[probe_sets[c]])`
+    # pattern this replaces issued ~2 fresh H2D uploads per cluster plus a
+    # blocking D2H per block — ~1.5k serializing tunnel round trips at 1M
+    # rows (the dominant cost of this phase, not the matmuls). Blocks now
+    # index device-resident tables by a small reused block id, dispatch
+    # asynchronously, and results are fetched after the full dispatch.
+    blocks: list[tuple[int, int, int, int]] = []  # (s, e, q_off, cluster)
+    for c in range(kc):
+        if lens[c] == 0:
+            continue
+        start, end = int(offsets[c]), int(offsets[c] + lens[c])
+        for s in range(start, end, qb):
+            e = min(s + qb, end)
+            q_off = s if e - s == qb else max(e - qb, 0)
+            blocks.append((s, e, q_off, c))
+    probe_offs_d = jnp.asarray(offsets[probe_sets])          # [kc, np_eff]
+    probe_lens_d = jnp.asarray(lens[probe_sets])             # [kc, np_eff]
+    blk_qoff_d = jnp.asarray(
+        np.array([b[2] for b in blocks], np.int32))          # [nb]
+    blk_c_d = jnp.asarray(np.array([b[3] for b in blocks], np.int32))
+
     # NB: the slab MUST be a jit argument, not a closure — closed-over
     # device arrays are embedded as HLO constants, and a 1M x 128 slab in
     # the remote-compile request body trips the tunnel's HTTP 413 limit.
     @jax.jit
-    def knn_block(xperm, sqnorm, q_off, offs_probe, lens_probe):
+    def knn_block(xperm, sqnorm, probe_offs, probe_lens, blk_qoff, blk_c, bi):
+        q_off = blk_qoff[bi]
+        offs_probe = probe_offs[blk_c[bi]]
+        lens_probe = probe_lens[blk_c[bi]]
         q = jax.lax.dynamic_slice(xperm, (q_off, 0), (qb, d))
         qsq = jax.lax.dynamic_slice(sqnorm, (q_off,), (qb,))
         qf = q.astype(jnp.bfloat16)
@@ -309,21 +338,14 @@ def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
             vals, gidx = merge_topk(vals, gidx, s, jnp.broadcast_to(rows, s.shape), k)
         return gidx
 
+    results = [
+        knn_block(xperm, sqnorm, probe_offs_d, probe_lens_d,
+                  blk_qoff_d, blk_c_d, device_i32(bi))
+        for bi in range(len(blocks))
+    ]
     out = np.empty((n, k), np.int32)
-    for c in range(kc):
-        if lens[c] == 0:
-            continue
-        offs_probe = jnp.asarray(offsets[probe_sets[c]])
-        lens_probe = jnp.asarray(lens[probe_sets[c]])
-        start, end = int(offsets[c]), int(offsets[c] + lens[c])
-        for s in range(start, end, qb):
-            e = min(s + qb, end)
-            q_off = s if e - s == qb else max(e - qb, 0)
-            res = np.asarray(
-                knn_block(xperm, sqnorm, device_i32(q_off),
-                          offs_probe, lens_probe)
-            )
-            out[s:e] = res[s - q_off : s - q_off + (e - s)]
+    for (s, e, q_off, _c), res in zip(blocks, results):
+        out[s:e] = np.asarray(res)[s - q_off : s - q_off + (e - s)]
     return out
 
 
@@ -351,14 +373,15 @@ def _subset_knn(x, sqnorm, subset: np.ndarray, k: int, metric: Metric,
 
     out = np.full((ns, k), -1, np.int32)
     keff = min(k, ns)
+    pending = []
     for s in range(0, ns, chunk):
         e = min(s + chunk, ns)
         qi = np.arange(s, e, dtype=np.int32)
         if e - s < chunk:
             qi = np.pad(qi, (0, chunk - (e - s)))
-        out[s:e, :keff] = np.asarray(
-            score_chunk(sv, ssq, sub_dev, jnp.asarray(qi))
-        )[: e - s]
+        pending.append((s, e, score_chunk(sv, ssq, sub_dev, jnp.asarray(qi))))
+    for s, e, res in pending:
+        out[s:e, :keff] = np.asarray(res)[: e - s]
     return out
 
 
@@ -442,19 +465,42 @@ def bootstrap_build(
     #     are far from every intra-cluster link).
     levels_perm = levels[order].copy()
     crow_perm = np.repeat(np.arange(kc, dtype=np.int32), lens)
-    xperm_host: np.ndarray | None = None
+    d2own_host: np.ndarray | None = None
+
+    def _d2own() -> np.ndarray:
+        """Distance of every (permuted) row to its own centroid — computed
+        on device in one pass (the host-slab alternative fetched the full
+        512 MB slab through the tunnel at 1M); D2H is [n] fp32."""
+        nonlocal d2own_host
+        if d2own_host is None:
+            @jax.jit
+            def fn(xperm, sqnorm, crow_d, cents_d):
+                x = xperm[: crow_d.shape[0]].astype(jnp.float32)
+                cg = jnp.take(cents_d, crow_d, axis=0)
+                dots = jnp.einsum("nd,nd->n", x, cg,
+                                  preferred_element_type=jnp.float32)
+                csq = jnp.einsum("nd,nd->n", cg, cg,
+                                 preferred_element_type=jnp.float32)
+                return sqnorm[: crow_d.shape[0]] - 2.0 * dots + csq
+
+            d2own_host = np.asarray(
+                fn(xperm, sqnorm, jnp.asarray(crow_perm), jnp.asarray(cents))
+            )
+        return d2own_host
 
     def _cluster_reps(sub_mask: np.ndarray) -> np.ndarray:
-        """Per cluster: the masked row nearest its centroid (-1 if none)."""
-        nonlocal xperm_host
-        if xperm_host is None:
-            xperm_host = np.asarray(xperm[:n])
+        """Per cluster: the masked row nearest its centroid (-1 if none) —
+        segmented argmin over the device-computed row→centroid distances."""
+        d2 = _d2own()
         reps = np.full(kc, -1, np.int32)
         rows = np.flatnonzero(sub_mask)
-        for c in np.unique(crow_perm[rows]):
-            members = rows[crow_perm[rows] == c]
-            d = ((xperm_host[members] - cents[c]) ** 2).sum(axis=1)
-            reps[c] = members[np.argmin(d)]
+        if rows.size == 0:
+            return reps
+        cr = crow_perm[rows]
+        order_r = np.lexsort((d2[rows], cr))
+        rs, cs = rows[order_r], cr[order_r]
+        first = np.concatenate([[True], cs[1:] != cs[:-1]])
+        reps[cs[first]] = rs[first]
         return reps
 
     # (a) promotion: clusters with no level>=1 node

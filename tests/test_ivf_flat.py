@@ -190,6 +190,13 @@ def test_pick_scan_mode_auto_thresholds():
     assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=64) == "probe"
     assert pick_scan_mode("auto", 262_144, 3, 1152, batch=1024) == "dense"
     assert pick_scan_mode("auto", 262_144, 3, 1152, batch=4096) == "probe"
+    # ... but the OOM guard only protects the XLA fallback's [B, npad]
+    # transients: a batch eligible for the fused Pallas kernel (tile
+    # streaming, [B, k] scratch) stays dense at any batch size
+    assert pick_scan_mode("auto", 262_144, 3, 1152, batch=4096,
+                          pallas_ok=True) == "dense"
+    assert pick_scan_mode("auto", 8_000_000, 96, 8192, batch=64,
+                          pallas_ok=True) == "dense"
     # the sparse gather blowup is PER QUERY: a bigger batch tips wide-probe
     # configs to dense (one slab pass amortizes over ~256 queries)
     assert pick_scan_mode("auto", 1_000_000, 96, 1408, batch=8) == "probe"
