@@ -274,7 +274,6 @@ def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
     approximation costs a little candidate precision at cluster borders;
     the diversity-selection stage absorbs it (R ≈ 3x the out-degree).
     """
-    from pyrope_tpu.ops.topk import merge_topk
 
     k = knn_r + 1  # self lands in the list; selection masks it
     kc = cents.shape[0]
@@ -291,9 +290,17 @@ def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
     # device ONCE: the per-cluster `jnp.asarray(offsets[probe_sets[c]])`
     # pattern this replaces issued ~2 fresh H2D uploads per cluster plus a
     # blocking D2H per block — ~1.5k serializing tunnel round trips at 1M
-    # rows (the dominant cost of this phase, not the matmuls). Blocks now
-    # index device-resident tables by a small reused block id, dispatch
-    # asynchronously, and results are fetched after the full dispatch.
+    # rows. Blocks index device-resident tables by a small reused block id,
+    # dispatch asynchronously, and results are fetched after the full
+    # dispatch.
+    #
+    # Blocks are also TIERED by their probe set's max list length: list
+    # lengths are skewed on clustered corpora (the bench corpus pads
+    # l_pad to the global max while most lists are several times shorter),
+    # and the probe matmul's cost is the padded length — one compiled
+    # variant per power-of-two tier keeps the scan proportional to real
+    # list mass instead of nb * l_pad_max (measured 376 s of a 573 s 1M
+    # build in this phase before tiering).
     blocks: list[tuple[int, int, int, int]] = []  # (s, e, q_off, cluster)
     for c in range(kc):
         if lens[c] == 0:
@@ -312,36 +319,60 @@ def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
     # NB: the slab MUST be a jit argument, not a closure — closed-over
     # device arrays are embedded as HLO constants, and a 1M x 128 slab in
     # the remote-compile request body trips the tunnel's HTTP 413 limit.
-    @jax.jit
-    def knn_block(xperm, sqnorm, probe_offs, probe_lens, blk_qoff, blk_c, bi):
-        q_off = blk_qoff[bi]
-        offs_probe = probe_offs[blk_c[bi]]
-        lens_probe = probe_lens[blk_c[bi]]
-        q = jax.lax.dynamic_slice(xperm, (q_off, 0), (qb, d))
-        qsq = jax.lax.dynamic_slice(sqnorm, (q_off,), (qb,))
-        qf = q.astype(jnp.bfloat16)
-        j = jax.lax.broadcasted_iota(jnp.int32, (1, l_pad), 1)
-        vals = jnp.full((qb, k), -jnp.inf, jnp.float32)
-        gidx = jnp.full((qb, k), -1, jnp.int32)
-        for p in range(np_eff):
-            off = offs_probe[p]
-            xs = jax.lax.dynamic_slice(xperm, (off, 0), (l_pad, d))
-            ssq = jax.lax.dynamic_slice(sqnorm, (off,), (l_pad,))
+    @functools.lru_cache(maxsize=None)
+    def knn_block_fn(tier: int):
+        @jax.jit
+        def knn_block(xperm, sqnorm, probe_offs, probe_lens,
+                      blk_qoff, blk_c, bi):
+            q_off = blk_qoff[bi]
+            offs_probe = probe_offs[blk_c[bi]]
+            lens_probe = probe_lens[blk_c[bi]]
+            q = jax.lax.dynamic_slice(xperm, (q_off, 0), (qb, d))
+            qsq = jax.lax.dynamic_slice(sqnorm, (q_off,), (qb,))
+            qf = q.astype(jnp.bfloat16)
+            # one [qb, D] x [D, P*tier] matmul over the concatenated probe
+            # slices + ONE selection op: the previous per-probe merge ran 8
+            # sort-based top_k's per block, which dominated the phase (the
+            # matmuls are a rounding error at these shapes). approx_max_k
+            # (PartialReduce) fuses into the matmul epilogue; candidate
+            # recall_target 0.98 is absorbed by the diversity-selection /
+            # descent / symmetrize stages downstream (A/B'd at 1M).
+            xs = jnp.concatenate([
+                jax.lax.dynamic_slice(xperm, (offs_probe[p], 0), (tier, d))
+                for p in range(np_eff)
+            ], axis=0)                                       # [P*tier, D]
+            ssq = jnp.concatenate([
+                jax.lax.dynamic_slice(sqnorm, (offs_probe[p],), (tier,))
+                for p in range(np_eff)
+            ], axis=0)
             dots = jnp.dot(qf, xs.astype(jnp.bfloat16).T,
                            preferred_element_type=jnp.float32)
             if metric == Metric.L2:
                 s = -jnp.maximum(qsq[:, None] - 2.0 * dots + ssq[None, :], 0.0)
             else:
                 s = dots
-            s = jnp.where(j < lens_probe[p], s, -jnp.inf)
-            rows = off + j
-            vals, gidx = merge_topk(vals, gidx, s, jnp.broadcast_to(rows, s.shape), k)
-        return gidx
+            t_i = jax.lax.broadcasted_iota(jnp.int32, (np_eff, tier), 1)
+            valid = (t_i < lens_probe[:, None]).reshape(1, -1)
+            rows = (offs_probe[:, None] + t_i).reshape(-1)   # [P*tier]
+            s = jnp.where(valid, s, -jnp.inf)
+            vals, ci = jax.lax.approx_max_k(s, k, recall_target=0.98)
+            return jnp.where(jnp.isfinite(vals), jnp.take(rows, ci), -1)
 
+        return knn_block
+
+    # tier = max probed list length, rounded up to a power-of-two multiple
+    # of 128 and capped at l_pad (slices stay in-bounds: the slab is padded
+    # by a full l_pad tail, see slab_pad)
+    probe_max = lens[probe_sets].max(axis=1)                 # [kc]
+    tiers = np.array([
+        min(128 * (1 << max(-(-int(pm) // 128) - 1, 0).bit_length()), l_pad)
+        for pm in np.maximum(probe_max, 1)
+    ], np.int64)
     results = [
-        knn_block(xperm, sqnorm, probe_offs_d, probe_lens_d,
-                  blk_qoff_d, blk_c_d, device_i32(bi))
-        for bi in range(len(blocks))
+        knn_block_fn(int(tiers[c]))(
+            xperm, sqnorm, probe_offs_d, probe_lens_d,
+            blk_qoff_d, blk_c_d, device_i32(bi))
+        for bi, (_s, _e, _q, c) in enumerate(blocks)
     ]
     out = np.empty((n, k), np.int32)
     for (s, e, q_off, _c), res in zip(blocks, results):
