@@ -102,3 +102,24 @@ def test_train_produces_real_onnx_artifact(tmp_path):
 
     art = joblib.load(tmp_path / "staging" / f"{version}.joblib")
     assert (np.asarray(labels) == art["model"].predict(probe)).all()
+
+
+def test_checked_in_policy_artifact():
+    """The committed policy_model.onnx (the reference ships one in-repo:
+    src/Pyrope.AISidecar/policy_model.onnx, SURVEY §2.6) must stay a valid,
+    evaluable TreeEnsembleClassifier; scripts/make_policy_artifact.py
+    regenerates it deterministically."""
+    from pathlib import Path
+
+    import pyrope_tpu.sidecar as sidecar
+
+    blob = (Path(sidecar.__file__).parent / "policy_model.onnx").read_bytes()
+    info = onnx_emit.check_model(blob)
+    assert info["op_type"] == "TreeEnsembleClassifier"
+    # aggressive iff miss>0.3 or cpu>0.8 or p99>50 (train_model labels):
+    # the artifact should reproduce the heuristic on clear-cut rows
+    calm = [[100.0, 0.05, 10.0, 0.2]]
+    hot = [[100.0, 0.9, 110.0, 0.95]]
+    labels_calm, _ = onnx_emit.evaluate(blob, np.asarray(calm, np.float32))
+    labels_hot, _ = onnx_emit.evaluate(blob, np.asarray(hot, np.float32))
+    assert labels_calm[0] == 0 and labels_hot[0] == 1
