@@ -186,10 +186,27 @@ CONFIGS = {
     "ivfpq1m_adc": ("IVF_PQ", 1_000_000, 128,
                     {"nlist": 1000, "pq_m": 8, "ksub": 256, "refine": 0,
                      "train_dtype": "bfloat16"}),
+    # the PQ quality operating point at 1M: wider probe over the same
+    # m=16+rerank index (opts so the built index is shared in-process)
+    "ivfpq1m_np8": ("IVF_PQ", 1_000_000, 128,
+                    {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                     "train_dtype": "bfloat16", "opts": {"nprobe": 8}}),
+    # HNSW 1M at a serving batch: the b64 row is utilization-bound (small
+    # per-iteration gathers), not algorithmically bound
+    "hnsw1m_clustered_b256": ("HNSW", 1_000_000, 128,
+                              {"m": 16, "ef_construction": 200,
+                               "ef_search": 50, "batch": 256}),
+    # the 1M quality frontier: same graph, beam widened at query time via
+    # SearchOptions.ef_search (ref: mutable EfSearch, HnswVectorIndex.cs:30-40)
+    "hnsw1m_clustered_ef200": ("HNSW", 1_000_000, 128,
+                               {"m": 16, "ef_construction": 200,
+                                "ef_search": 50, "batch": 256,
+                                "opts": {"ef_search": 200}}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
-             "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc"}
+             "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc",
+             "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200"}
 
 
 def log(*a):
@@ -374,7 +391,7 @@ def run_config(
     name: str, batch: int, topk: int, n_queries: int, duration_s: float,
     base_fvecs: str | None = None, query_fvecs: str | None = None,
     base_limit: int | None = None, with_oracle: bool = True,
-    oracle_max_n: int = 200_000,
+    oracle_max_n: int = 200_000, index_cache: dict | None = None,
 ) -> dict:
     import pyrope_tpu as pt
     from pyrope_tpu.utils.datasets import (
@@ -427,17 +444,34 @@ def run_config(
         queries = synthetic_queries(max(n_queries, batch), dim)
     log(f"[{name}] algo={algo} n={n_base} dim={dim} batch={batch} topk={topk}")
     _warm_backend()
-    idx = build_index(algo, dim, kwargs)
+    # configs that differ only in serving knobs (batch, SearchOptions)
+    # share one built index within a --configs run: a 1M HNSW bootstrap
+    # build costs ~10 min, and rebuilding it per serving shape measures
+    # nothing new. load_s/build_s are copied from the original build and
+    # the row is marked build_cached so readers know.
+    cache_key = (algo, n_base, dim,
+                 tuple(sorted((k, repr(v)) for k, v in kwargs.items())),
+                 name in CLUSTERED, base_fvecs, base_limit)
+    cached = index_cache.get(cache_key) if index_cache is not None else None
+    build_cached = cached is not None
+    if build_cached:
+        idx, load_s, build_s = cached
+        log(f"[{name}] reusing built index (load {load_s:.2f}s / "
+            f"build {build_s:.2f}s from the first run)")
+    else:
+        idx = build_index(algo, dim, kwargs)
 
-    t0 = time.perf_counter()
-    idx.add_batch([str(i) for i in range(n_base)], base)
-    load_s = time.perf_counter() - t0
-    log(f"[{name}] load: {load_s:.2f}s ({n_base/load_s:,.0f} vec/s)")
+        t0 = time.perf_counter()
+        idx.add_batch([str(i) for i in range(n_base)], base)
+        load_s = time.perf_counter() - t0
+        log(f"[{name}] load: {load_s:.2f}s ({n_base/load_s:,.0f} vec/s)")
 
-    t0 = time.perf_counter()
-    idx.build()
-    build_s = time.perf_counter() - t0
-    log(f"[{name}] build: {build_s:.2f}s")
+        t0 = time.perf_counter()
+        idx.build()
+        build_s = time.perf_counter() - t0
+        log(f"[{name}] build: {build_s:.2f}s")
+        if index_cache is not None:
+            index_cache[cache_key] = (idx, load_s, build_s)
 
     import jax.numpy as jnp
 
@@ -529,6 +563,8 @@ def run_config(
     }
     if recall_ref_e2e is not None:
         out["recall_ref_e2e"] = recall_ref_e2e
+    if build_cached:
+        out["build_cached"] = True
     if hasattr(idx, "describe_scan"):
         # the code path this row measured (e.g. IVF-PQ dense rows with
         # refine>0 exact-scan the rerank slab and never touch ADC)
@@ -594,12 +630,13 @@ def main() -> None:
     else:
         names = [args.config]
 
+    index_cache: dict = {}
     results = [
         run_config(
             n, args.batch, args.topk, args.queries, args.duration,
             base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
             base_limit=args.base_limit, with_oracle=not args.no_oracle,
-            oracle_max_n=args.oracle_max_n,
+            oracle_max_n=args.oracle_max_n, index_cache=index_cache,
         )
         for n in names
     ]
@@ -613,6 +650,15 @@ def main() -> None:
         pass
     merged = {(r["config"], r["batch"]): r for r in detail}
     for r in results:
+        # recall_ref is deterministic per config (seeded data + reference
+        # semantics), so a re-run that skipped the oracle (e.g. a 1M row
+        # under the default --oracle-max-n) keeps the backfilled value
+        # from scripts/oracle_backfill.py instead of clobbering it to null
+        old = merged.get((r["config"], r["batch"]))
+        if old is not None and r.get("recall_ref") is None:
+            for k in ("recall_ref", "n_oracle", "recall_ref_e2e"):
+                if old.get(k) not in (None, 0):
+                    r[k] = old[k]
         merged[(r["config"], r["batch"])] = r
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(sorted(merged.values(), key=lambda r: (r["config"], r["batch"])), f, indent=2)
