@@ -183,14 +183,27 @@ CONFIGS = {
     "ivfpq1m_clustered": ("IVF_PQ", 1_000_000, 128,
                           {"nlist": 1000, "pq_m": 16, "ksub": 256,
                            "train_dtype": "bfloat16"}),
+    # memory-lean rerank slab: bf16 halves rerank memory but its ~0.4%
+    # rounding reorders near-ties — on clustered data every list member is
+    # nearly equidistant, capping recall at 0.71 no matter how wide
+    # nprobe/refine go (the fp32 default restores ~IVF-Flat recall)
+    "ivfpq1m_bf16slab": ("IVF_PQ", 1_000_000, 128,
+                         {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                          "train_dtype": "bfloat16",
+                          "refine_storage": "bf16"}),
     "ivfpq1m_adc": ("IVF_PQ", 1_000_000, 128,
                     {"nlist": 1000, "pq_m": 8, "ksub": 256, "refine": 0,
                      "train_dtype": "bfloat16"}),
-    # the PQ quality operating point at 1M: wider probe over the same
-    # m=16+rerank index (opts so the built index is shared in-process)
+    # probe/shortlist width sweeps over the quality index (shared build via
+    # opts / one rebuild). Historical note: with the old bf16 rerank slab,
+    # np 3->8 and refine 64->128 both left recall at ~0.71-0.72 — the cap
+    # was storage rounding, not candidate width (see ivfpq1m_bf16slab)
     "ivfpq1m_np8": ("IVF_PQ", 1_000_000, 128,
                     {"nlist": 1000, "pq_m": 16, "ksub": 256,
                      "train_dtype": "bfloat16", "opts": {"nprobe": 8}}),
+    "ivfpq1m_r128": ("IVF_PQ", 1_000_000, 128,
+                     {"nlist": 1000, "pq_m": 16, "ksub": 256, "refine": 128,
+                      "train_dtype": "bfloat16"}),
     # HNSW 1M at a serving batch: the b64 row is utilization-bound (small
     # per-iteration gathers), not algorithmically bound
     "hnsw1m_clustered_b256": ("HNSW", 1_000_000, 128,
@@ -206,7 +219,8 @@ CONFIGS = {
 
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc",
-             "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200"}
+             "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
+             "ivfpq1m_r128", "ivfpq1m_bf16slab"}
 
 
 def log(*a):

@@ -243,7 +243,7 @@ def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
         return pallas_ivf_topk(
             q, xperm, sqnorm, alive, crow, probed, k, metric,
             promote_fp32=promote,
-            row_tile=min(4096, xperm.shape[0]), batch_tile=min(64, b),
+            row_tile=min(4096, xperm.shape[0]), batch_tile=min(128, b),
         )
 
     return fn
@@ -265,7 +265,7 @@ def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
         and ms >= n
         and kpad <= PALLAS_IVF_MAX_KPAD
         and npad % min(4096, npad) == 0
-        and b % min(64, b) == 0
+        and b % min(128, b) == 0
     )
 
 

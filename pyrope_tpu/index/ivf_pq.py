@@ -294,7 +294,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         nprobe: int = DEFAULT_NPROBE,
         seed: int = COARSE_SEED,
         refine: int = 64,
-        refine_storage: str = "bf16",  # bf16 | fp32
+        refine_storage: str = "fp32",  # fp32 | bf16 (memory-lean)
         train_dtype: Optional[str] = None,
         scan_mode: str = "auto",
         train_init: str = "kmeans++",  # coarse init; | "sample" (ref init)
@@ -307,7 +307,12 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         0.92x the IVF-Flat recall at equal nprobe (vs 0.14x without rerank);
         the gather cost is negligible next to the list scans.
         ``refine_storage`` sets the device dtype of the raw slab kept for
-        reranking. ``scan_mode``: 'auto' | 'dense' | 'probe' — dense runs
+        reranking. Default fp32 (the exact-path invariant): a bf16 slab
+        halves rerank memory but its ~0.4% rounding reorders near-ties —
+        on 1M-clustered, where every list member is nearly equidistant,
+        bf16 capped recall at 0.71 regardless of nprobe/refine width
+        (fp32 restores ~IVF-Flat recall; measured 2026-08-17).
+        ``scan_mode``: 'auto' | 'dense' | 'probe' — dense runs
         one shared-slab ADC pass masked by probe membership (see
         ``adc_scan_dense``), probe slices each probed list per query."""
         if scan_mode not in ("auto", "dense", "probe"):

@@ -52,7 +52,8 @@ def create_index(config: IndexConfig) -> DeltaIndex:
     elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(
             config.dim, config.metric, nlist=p.nlist, pq_m=p.pq_m, ksub=p.k,
-            nprobe=p.nprobe, refine=p.refine, scan_mode=p.scan_mode,
+            nprobe=p.nprobe, refine=p.refine,
+            refine_storage=p.refine_storage, scan_mode=p.scan_mode,
             train_init=p.train_init,
         )
     elif algo == "FLAT":

@@ -86,6 +86,7 @@ class IndexParams:
     pq_m: int = 4               # PQ subspaces (ref IVF_PQ config m=4)
     nprobe: int = 3             # IVF probes (ref CombineNProbe=3)
     refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
+    refine_storage: str = "fp32"  # IVF-PQ rerank slab dtype: fp32 | bf16
     scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
     neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
@@ -114,6 +115,12 @@ class IndexParams:
                 p.nprobe = int(val)
             elif kk in ("refine",):
                 p.refine = int(val)
+            elif kk in ("refine_storage", "refinestorage"):
+                rs = str(val).lower()
+                if rs not in ("fp32", "bf16"):
+                    raise ValueError(
+                        f"refine_storage must be fp32|bf16, got {val!r}")
+                p.refine_storage = rs
             elif kk in ("scan_mode", "scanmode"):
                 sm = str(val).lower()
                 if sm not in ("auto", "dense", "probe"):

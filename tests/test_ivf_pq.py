@@ -148,7 +148,7 @@ class TestExactRerank:
         idx.snapshot(p)
         idx2 = IvfPqIndex(32, nlist=5, pq_m=8, ksub=64, refine=0)
         idx2.load(p)
-        assert idx2.refine == 16 and idx2.refine_storage == "bf16"
+        assert idx2.refine == 16 and idx2.refine_storage == "fp32"
         a = [h.id for h in idx.search(base[7], 5, SearchOptions(nprobe=5))]
         b = [h.id for h in idx2.search(base[7], 5, SearchOptions(nprobe=5))]
         assert a == b
