@@ -90,6 +90,9 @@ BASELINES = {
     "flat1m_pallas_b1024": None,
     # uniform-1M recall frontier: where wide-probe IVF meets the exact scan
     "ivf1m_np256": None,
+    # same frontier at the serving batch: only reachable by the WINDOWED
+    # fused Pallas kernel (the XLA dense [B, npad] transient would be 4 GB)
+    "ivf1m_np256_b1024": None,
     # IVF-PQ at the scale PQ exists for (VERDICT r2 #2): probe-mode ADC
     # kernels on real hardware; _adc = refine=0 memory-parity pure ADC
     "ivfpq1m_clustered": None,
@@ -177,6 +180,13 @@ CONFIGS = {
     # Pallas full scan (flat1m_pallas)
     "ivf1m_np256": ("IVF_FLAT", 1_000_000, 128,
                     {"nlist": 1000, "train_dtype": "bfloat16", "nprobe": 256}),
+    # the serving-batch point of the same frontier: kpad ~1008 > 512 routes
+    # to the windowed fused kernel (dense-pallas-win); the XLA dense
+    # fallback would need a [1024, 1M] fp32 transient and the probe kernel
+    # replicates 256 probed lists per query — both lose by >2x
+    "ivf1m_np256_b1024": ("IVF_FLAT", 1_000_000, 128,
+                          {"nlist": 1000, "train_dtype": "bfloat16",
+                           "nprobe": 256, "batch": 1024}),
     # PQ at 1M clustered (probe mode -> the ADC kernels run on hardware):
     # m=16 + exact rerank for the quality row, m=8 refine=0 for the
     # reference-memory-parity pure-ADC row (16x compression)

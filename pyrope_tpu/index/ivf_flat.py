@@ -221,6 +221,21 @@ def probed_table(probe: jax.Array, kpad: int) -> jax.Array:
     ].set(1.0)
 
 
+def probed_table_t(probe: jax.Array, kpad: int, window: int) -> jax.Array:
+    """[B, nprobe] probe ids -> TRANSPOSED [Kp, B] 0/1 bf16 table for the
+    windowed kernel (Kp from ops/pallas_scan.padded_probe_width: aligned
+    multiple of window's Mosaic alignment, >= window, so every aligned
+    [c0, c0+window) slice is in range; bf16 0/1 products are exact,
+    accumulate is fp32)."""
+    from pyrope_tpu.ops.pallas_scan import padded_probe_width
+
+    b = probe.shape[0]
+    kp = padded_probe_width(kpad, window)
+    return jnp.zeros((kp, b), jnp.bfloat16).at[
+        probe, jnp.arange(b)[:, None]
+    ].set(1.0)
+
+
 @functools.lru_cache(maxsize=None)
 def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
                          promote: bool = False,
@@ -249,12 +264,47 @@ def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _ivf_dense_pallas_win_fn(metric: Metric, k: int, nprobe: int,
+                             promote: bool = False,
+                             probe_metric: Metric | None = None):
+    """Windowed fused dense-mask scan for wide cluster tables
+    (kpad > PALLAS_IVF_MAX_KPAD): membership is resolved against a
+    per-tile window of the cluster-major slab's cluster band instead of
+    the full [row_tile, kpad] one-hot (see
+    ops/pallas_scan.pallas_ivf_topk_windowed)."""
+    from pyrope_tpu.ops.pallas_scan import (
+        PALLAS_IVF_WINDOW,
+        pallas_ivf_topk_windowed,
+    )
+
+    @jax.jit
+    def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, crow,
+           tile_clo, q, max_scans):
+        probe, _, _ = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        probed_t = probed_table_t(probe, cents.shape[0], PALLAS_IVF_WINDOW)
+        b = q.shape[0]
+        return pallas_ivf_topk_windowed(
+            q, xperm, sqnorm, alive, crow, probed_t, tile_clo, k, metric,
+            promote_fp32=promote,
+            row_tile=min(4096, xperm.shape[0]), batch_tile=min(128, b),
+        )
+
+    return fn
+
+
 def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
-                    npad: int, kpad: int, b: int, ms: int, n: int) -> bool:
+                    npad: int, kpad: int, b: int, ms: int, n: int,
+                    win_ok: bool = False) -> bool:
     """Eligibility of the fused Pallas dense kernel (falls back to the XLA
     dense kernel otherwise): full scan only (no max_scans budget), L2/IP,
     exact fp32 compute, tile-divisible shapes, and a cluster table narrow
-    enough that the membership matmul stays a fraction of the scan."""
+    enough that the membership matmul stays a fraction of the scan —
+    wider tables are eligible when the slab's per-tile cluster spans fit
+    the windowed kernel (``win_ok``, see tile_cluster_windows)."""
     from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
 
     if selection == "exact":
@@ -263,7 +313,7 @@ def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
         metric != Metric.COSINE
         and compute is None
         and ms >= n
-        and kpad <= PALLAS_IVF_MAX_KPAD
+        and (kpad <= PALLAS_IVF_MAX_KPAD or win_ok)
         and npad % min(4096, npad) == 0
         and b % min(128, b) == 0
     )
@@ -507,10 +557,23 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         if n:
             crow[:n] = np.repeat(np.arange(k, dtype=np.int32), self._lens)
             pos[:n] = np.arange(n, dtype=np.int32) - self._offsets[crow[:n]]
+        # windowed-Pallas eligibility for wide cluster tables: per-tile
+        # cluster bands of the cluster-major slab (see ops/pallas_scan)
+        tile_clo, win_ok = None, False
+        if kpad > 512:  # PALLAS_IVF_MAX_KPAD — narrow tables use the plain kernel
+            from pyrope_tpu.ops.pallas_scan import (
+                padded_probe_width,
+                tile_cluster_windows,
+            )
+
+            tile_clo, win_ok = tile_cluster_windows(
+                crow, n, npad, min(4096, npad), padded_probe_width(kpad)
+            )
         return {
             "k": k, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,
             "alive": alive, "cents": cents, "cvalid": cvalid,
             "offs": offs, "lens": lens, "crow": crow, "pos": pos,
+            "tile_clo": tile_clo, "win_ok": win_ok,
         }
 
     def _dev_common(self, t: dict) -> dict:
@@ -522,6 +585,9 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             "lens": jnp.asarray(t["lens"]),
             "crow": jnp.asarray(t["crow"]),
             "pos": jnp.asarray(t["pos"]),
+            "tile_clo": (jnp.asarray(t["tile_clo"])
+                         if t.get("tile_clo") is not None else None),
+            "win_ok": t.get("win_ok", False),
             "l_pad": t["l_pad"],
             "k_actual": t["k"],
             # row->id table CONSISTENT with this slab: build()/load() replace
@@ -577,7 +643,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         p_ok = pallas_dense_ok(
             self.selection, self.metric, self.compute_dtype,
             dev["xperm"].shape[0], dev["cents"].shape[0], q.shape[0],
-            ms, self._main_n,
+            ms, self._main_n, win_ok=dev.get("win_ok", False),
         )
         mode = pick_scan_mode(
             self.scan_mode, dev["xperm"].shape[0], nprobe, dev["l_pad"],
@@ -585,6 +651,16 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         )
         if mode == "dense":
             if p_ok:
+                from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD:
+                    fn = _ivf_dense_pallas_win_fn(self.metric, top_k, nprobe)
+                    return fn(
+                        dev["cents"], dev["cvalid"], dev["xperm"],
+                        dev["sqnorm"], dev["alive"], dev["offsets"],
+                        dev["lens"], dev["crow"], dev["tile_clo"],
+                        q, device_i32(ms),
+                    )
                 fn = _ivf_dense_pallas_fn(self.metric, top_k, nprobe)
                 return fn(
                     dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
@@ -613,8 +689,8 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
 
     def describe_scan(self, batch: int, nprobe: Optional[int] = None) -> str:
         """Which kernel a (batch, nprobe) query would run: 'probe',
-        'dense-xla', or 'dense-pallas'. Benchmark rows record this so a QPS
-        number is never quoted without its code path."""
+        'dense-xla', 'dense-pallas', or 'dense-pallas-win'. Benchmark rows
+        record this so a QPS number is never quoted without its code path."""
         if not self._built:
             return "buffer"
         dev = self._sync()
@@ -622,7 +698,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         p_ok = pallas_dense_ok(
             self.selection, self.metric, self.compute_dtype,
             dev["xperm"].shape[0], dev["cents"].shape[0], batch,
-            self._main_n, self._main_n,
+            self._main_n, self._main_n, win_ok=dev.get("win_ok", False),
         )
         mode = pick_scan_mode(
             self.scan_mode, dev["xperm"].shape[0], np_eff, dev["l_pad"],
@@ -630,7 +706,13 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         )
         if mode != "dense":
             return "probe"
-        return "dense-pallas" if p_ok else "dense-xla"
+        if not p_ok:
+            return "dense-xla"
+        from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+        return ("dense-pallas-win"
+                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
+                else "dense-pallas")
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -539,10 +539,23 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
                 cdot[:n] = compute_cdot(
                     self._codes, crow[:n], self._centroids, self.pq.codebooks
                 )
+        # windowed-Pallas eligibility for wide cluster tables (see
+        # pyrope_tpu/index/ivf_flat.py _host_tables — same mechanism)
+        tile_clo, win_ok = None, False
+        if kpad > 512:  # PALLAS_IVF_MAX_KPAD
+            from pyrope_tpu.ops.pallas_scan import (
+                padded_probe_width,
+                tile_cluster_windows,
+            )
+
+            tile_clo, win_ok = tile_cluster_windows(
+                crow, n, npad, min(4096, npad), padded_probe_width(kpad)
+            )
         return {
             "k": kc, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,
             "alive": alive, "cents": cents, "cvalid": cvalid,
             "offs": offs, "lens": lens, "crow": crow, "pos": pos, "cdot": cdot,
+            "tile_clo": tile_clo, "win_ok": win_ok,
         }
 
     def _dev_common(self, t: dict) -> dict:
@@ -556,6 +569,9 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             "crow": jnp.asarray(t["crow"]),
             "pos": jnp.asarray(t["pos"]),
             "cdot": jnp.asarray(t["cdot"]),
+            "tile_clo": (jnp.asarray(t["tile_clo"])
+                         if t.get("tile_clo") is not None else None),
+            "win_ok": t.get("win_ok", False),
             "l_pad": t["l_pad"],
             "k_actual": t["k"],
             # consistent row->id table for this slab (see IvfFlatIndex note)
@@ -624,7 +640,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         p_ok = self.refine > 0 and pallas_dense_ok(
             "auto", search_metric, None, dev["xraw"].shape[0],
             dev["cents"].shape[0], q.shape[0], ms,
-            self._codes.shape[0],
+            self._codes.shape[0], win_ok=dev.get("win_ok", False),
         )
         if self.scan_mode == "auto" and self.refine > 0:
             from pyrope_tpu.index.ivf_flat import DENSE_MAX_ELEMS
@@ -646,6 +662,23 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
                     # fused Pallas dense scan of the rerank slab; bf16
                     # storage is promoted to fp32 in-kernel so scores match
                     # the XLA dense-exact path (see _ivfpq_dense_exact_fn)
+                    from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+                    if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD:
+                        from pyrope_tpu.index.ivf_flat import (
+                            _ivf_dense_pallas_win_fn,
+                        )
+
+                        fn = _ivf_dense_pallas_win_fn(
+                            search_metric, top_k, nprobe, promote=True,
+                            probe_metric=probe_metric,
+                        )
+                        return fn(
+                            dev["cents"], dev["cvalid"], dev["xraw"],
+                            dev["xsqnorm"], dev["alive"], dev["offsets"],
+                            dev["lens"], dev["crow"], dev["tile_clo"],
+                            q, device_i32(ms),
+                        )
                     fn = _ivf_dense_pallas_fn(
                         search_metric, top_k, nprobe, promote=True,
                         probe_metric=probe_metric,
@@ -729,7 +762,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         p_ok = self.refine > 0 and pallas_dense_ok(
             "auto", search_metric, None, dev["xraw"].shape[0],
             dev["cents"].shape[0], batch, self._codes.shape[0],
-            self._codes.shape[0],
+            self._codes.shape[0], win_ok=dev.get("win_ok", False),
         )
         if self.scan_mode == "auto" and self.refine > 0:
             mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
@@ -743,7 +776,13 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         if mode == "dense":
             if self.refine == 0:
                 return "dense-adc"
-            return "dense-exact-pallas" if p_ok else "dense-exact-xla"
+            if not p_ok:
+                return "dense-exact-xla"
+            from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+            return ("dense-exact-pallas-win"
+                    if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
+                    else "dense-exact-pallas")
         return "probe-adc+rerank" if self.refine > 0 else "probe-adc"
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:

@@ -298,10 +298,214 @@ def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
 
 
 # membership matmul costs ~kpad MACs/row next to the score matmul's D; cap
-# the cluster-table width so the mask never dominates the scan (the 1M
-# nlist=1000 dense regime stays on the XLA kernel until the windowed
-# variant lands)
+# the cluster-table width so the mask never dominates the scan. Wider
+# cluster tables use the WINDOWED kernel below: the slab is cluster-major,
+# so one corpus tile only ever touches a narrow band of clusters — the
+# kernel reads that band's start from an SMEM per-tile table and builds
+# the one-hot map over a fixed WINDOW of clusters instead of all kpad.
 PALLAS_IVF_MAX_KPAD = 512
+PALLAS_IVF_WINDOW = 256  # clusters per tile window (bf16 oh: [row_tile, W])
+# Mosaic requires the dynamic sublane offset of the probe-table slice to be
+# provably aligned (vector.load "index in dimension 0 is a multiple of 8"
+# on real TPU); window starts are rounded DOWN to this on the host and the
+# kernel asserts it with pl.multiple_of. 16 covers bf16 sublane packing.
+PALLAS_IVF_WINDOW_ALIGN = 16
+
+
+def padded_probe_width(kpad: int, window: int = PALLAS_IVF_WINDOW) -> int:
+    """Width the transposed probe table must be padded to so every aligned
+    [c0, c0+window) slice stays in range: >= window, multiple of the
+    alignment (so the hi clamp ``kp - window`` stays aligned)."""
+    a = PALLAS_IVF_WINDOW_ALIGN
+    return max(-(-kpad // a) * a, window)
+
+
+def tile_cluster_windows(
+    crow, n: int, npad: int, row_tile: int, kpad: int,
+    window: int = PALLAS_IVF_WINDOW,
+):
+    """Per-corpus-tile cluster-window table for the windowed dense kernel.
+
+    ``crow`` is nondecreasing over the real rows of a cluster-major slab
+    (pad rows at the tail carry a sentinel and are alive=False, so their
+    membership value is irrelevant). ``kpad`` is the PADDED probe-table
+    width the kernel will slice (``padded_probe_width`` — multiple of the
+    alignment, >= window). Returns ``(tile_clo, ok)`` where ``tile_clo[i]``
+    is the first cluster of tile i rounded down to the Mosaic alignment and
+    clamped so the [c0, c0+window) slice stays inside the table (rounding /
+    clamping down is safe: crow is nondecreasing, so every cluster in the
+    tile is >= the original c_lo >= the aligned c0; the clamp still covers
+    c_hi because c_hi <= kpad - 1 < hi_clamp + window), and ``ok`` is False
+    when some tile's aligned span exceeds ``window`` clusters (caller falls
+    back to the XLA dense kernel)."""
+    import numpy as np
+
+    a = PALLAS_IVF_WINDOW_ALIGN
+    if kpad % a or window % a:
+        raise ValueError(
+            f"kpad/window must be {a}-aligned (use padded_probe_width): "
+            f"kpad={kpad}, window={window}"
+        )
+    n_tiles = max(npad // row_tile, 1)
+    tile_clo = np.zeros(n_tiles, np.int32)
+    hi_clamp = max(kpad - window, 0)
+    ok = True
+    for i in range(n_tiles):
+        base = i * row_tile
+        if base >= n:
+            continue  # all-pad tile: window irrelevant (alive=False)
+        last_real = min(base + row_tile, n) - 1
+        c_lo, c_hi = int(crow[base]), int(crow[last_real])
+        c0 = (c_lo // a) * a
+        if c_hi - c0 >= window:
+            ok = False
+            break
+        tile_clo[i] = min(c0, hi_clamp)
+    return tile_clo, ok
+
+
+def _ivf_scan_windowed_kernel(
+    tile_clo_ref, q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_t_ref,
+    vals_ref, idx_ref, run_v, run_i,
+    *, k: int, metric: Metric, row_tile: int, window: int,
+    promote_fp32: bool,
+):
+    """Dense-mask IVF scan for WIDE cluster tables (kpad > ~512).
+
+    Identical to ``_ivf_scan_kernel`` except membership: instead of a
+    [row_tile, kpad] one-hot against the full [Bt, kpad] probe table, the
+    kernel reads this tile's first cluster ``c0`` from SMEM, slices a
+    [window, Bt] band out of the TRANSPOSED probe table (sublane-dim
+    dynamic slice — cheap on TPU), and contracts it with a
+    [row_tile, window] one-hot built relative to ``c0``. The 0/1 operands
+    run in bf16 (products exact, fp32 accumulate), so the membership
+    matmul costs window (256) bf16 MACs/row next to the score matmul's
+    D fp32-HIGHEST MACs."""
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    scores = _tile_scores(q_ref[:], x_ref[:], sq_ref[:], metric=metric,
+                          promote_fp32=promote_fp32)
+
+    # host-aligned (tile_cluster_windows) + asserted so Mosaic can prove
+    # the dynamic sublane offset of the vector load
+    c0 = pl.multiple_of(tile_clo_ref[n_idx], PALLAS_IVF_WINDOW_ALIGN)
+    pw = probed_t_ref[pl.ds(c0, window), :]                  # [W, Bt] bf16
+    crow = crow_ref[:]                                       # [T]
+    oh = (
+        (crow[:, None] - c0)
+        == jax.lax.broadcasted_iota(jnp.int32, (row_tile, window), 1)
+    ).astype(jnp.bfloat16)                                   # [T, W]
+    member = jax.lax.dot_general(
+        pw, oh,
+        (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                        # [Bt, T]
+    mask = alive_ref[:][None, :] & (member > 0.5)
+
+    base = n_idx * row_tile
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
+    scores = jnp.where(mask, scores, NEG_INF)
+    _merge_tile(run_v, run_i, scores, rows, k=k)
+
+    @pl.when(n_idx == n_tiles - 1)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ivf_windowed(
+    metric: Metric, k: int, b_pad: int, n_pad: int, d: int, kpad: int,
+    x_dtype: str, row_tile: int, batch_tile: int, window: int,
+    promote_fp32: bool, interpret: bool,
+):
+    grid = (b_pad // batch_tile, n_pad // row_tile)
+    kernel = functools.partial(
+        _ivf_scan_windowed_kernel, k=k, metric=metric, row_tile=row_tile,
+        window=window, promote_fp32=promote_fp32,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # tile_clo
+            pl.BlockSpec((batch_tile, d), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # q
+            pl.BlockSpec((row_tile, d), lambda b, n: (n, 0),
+                         memory_space=pltpu.VMEM),                     # x tile
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # sqnorm
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # alive
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # crow
+            pl.BlockSpec((kpad, batch_tile), lambda b, n: (0, b),
+                         memory_space=pltpu.VMEM),                     # probedT
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, k), jnp.float32),
+            pltpu.VMEM((batch_tile, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pallas_ivf_topk_windowed(
+    q: jax.Array,
+    x: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    crow: jax.Array,
+    probed_t: jax.Array,
+    tile_clo: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    *,
+    promote_fp32: bool = False,
+    row_tile: int = DEFAULT_ROW_TILE,
+    batch_tile: int = 64,
+    window: int = PALLAS_IVF_WINDOW,
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed fused dense-mask IVF scan (kpad > PALLAS_IVF_MAX_KPAD).
+
+    probed_t: [Kp, B] 0/1 bf16 TRANSPOSED probe table (Kp >= window);
+    tile_clo: [npad // row_tile] int32 per-tile first cluster (see
+    ``tile_cluster_windows``). Other args as ``pallas_ivf_topk``."""
+    metric = Metric.parse(metric)
+    if metric == Metric.COSINE:
+        raise ValueError("pre-normalize rows and use IP for cosine")
+    b, d = q.shape
+    n = x.shape[0]
+    kpad = probed_t.shape[0]
+    row_tile = min(row_tile, n)
+    batch_tile = min(batch_tile, b)
+    if n % row_tile or b % batch_tile:
+        raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
+    if kpad < window:
+        raise ValueError(f"probed_t must be padded to >= window ({kpad} < {window})")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    fn = _build_ivf_windowed(metric, k, b, n, d, kpad, str(x.dtype),
+                             row_tile, batch_tile, window, promote_fp32,
+                             interpret)
+    vals, idx = fn(tile_clo, q, x, sqnorm, alive, crow, probed_t)
+    vals = jnp.where(idx < 0, -jnp.inf, vals)
+    return vals, idx
 
 
 def pallas_ivf_topk(

@@ -214,3 +214,88 @@ def test_ivfpq_dense_pallas_matches_xla_exact():
         assert [h.id for h in ha] == [h.id for h in hb]
         assert np.allclose([h.score for h in ha], [h.score for h in hb],
                            rtol=1e-5, atol=1e-5)
+
+
+# ---- windowed dense-mask IVF kernel (wide cluster tables) ------------------
+
+def test_tile_cluster_windows():
+    from pyrope_tpu.ops.pallas_scan import tile_cluster_windows
+
+    # 8192 rows, 2 tiles of 4096; clusters of 32 rows -> 128/tile
+    crow = np.repeat(np.arange(256, dtype=np.int32), 32)
+    clo, ok = tile_cluster_windows(crow, 8192, 8192, 4096, kpad=256,
+                                   window=256)
+    assert ok and list(clo) == [0, 0]  # tile1 c_lo=128, clamped to 256-256=0
+    # narrow window -> span violation
+    _, ok = tile_cluster_windows(crow, 8192, 8192, 4096, kpad=256, window=64)
+    assert not ok
+    # all-pad tail tile is ignored
+    clo, ok = tile_cluster_windows(crow[:4096], 4096, 8192, 4096, kpad=256,
+                                   window=256)
+    assert ok and clo[1] == 0
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.INNER_PRODUCT])
+def test_ivf_windowed_kernel_vs_numpy(metric):
+    from pyrope_tpu.ops.pallas_scan import (
+        pallas_ivf_topk_windowed,
+        tile_cluster_windows,
+    )
+
+    n, b, d, k, kc = 16384, 16, 32, 10, 640  # kc > PALLAS_IVF_MAX_KPAD
+    rng = np.random.default_rng(11)
+    x = rng.random((n, d), np.float32)
+    q = rng.random((b, d), np.float32)
+    sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[5:40] = False
+    lens = rng.multinomial(n, np.ones(kc) / kc)
+    crow = np.repeat(np.arange(kc, dtype=np.int32), lens)
+    probe = np.stack([
+        rng.choice(kc, size=5, replace=False) for _ in range(b)
+    ]).astype(np.int32)
+    kp = 640
+    probed_t = np.zeros((kp, b), np.float32)
+    probed_t[probe.T, np.arange(b)[None, :]] = 1.0
+    tile_clo, ok = tile_cluster_windows(crow, n, n, 4096, kpad=kp)
+    assert ok  # ~160 clusters per 4096-row tile fits the 256 window
+    vals, idx = pallas_ivf_topk_windowed(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        jnp.asarray(crow), jnp.asarray(probed_t, dtype=jnp.bfloat16),
+        jnp.asarray(tile_clo), k, metric,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    dots = q @ x.T
+    if metric == Metric.L2:
+        scores = -np.maximum((q * q).sum(1)[:, None] - 2 * dots
+                             + sq[None, :], 0)
+    else:
+        scores = dots
+    member = np.stack([np.isin(crow, probe[bi]) for bi in range(b)])
+    scores = np.where(member & alive[None, :], scores, -np.inf)
+    ref_idx = np.argsort(-scores, axis=1)[:, :k]
+    for bi in range(b):
+        assert set(idx[bi]) == set(ref_idx[bi])
+
+
+def test_ivf_index_windowed_matches_probe():
+    """nlist > 512 routes the dense path to the windowed kernel; hit sets
+    must equal the probe kernel's (identical-hit-set invariant)."""
+    import pyrope_tpu as pt
+
+    rng = np.random.default_rng(12)
+    base = rng.normal(size=(20000, 16)).astype(np.float32)
+    ids = [str(i) for i in range(20000)]
+    q = rng.normal(size=(8, 16)).astype(np.float32)
+    a = pt.IvfFlatIndex(16, "L2", nlist=600, nprobe=32, scan_mode="probe")
+    b = pt.IvfFlatIndex(16, "L2", nlist=600, nprobe=32, scan_mode="dense")
+    for ix in (a, b):
+        ix.add_batch(ids, base)
+        ix.build()
+    assert b.describe_scan(8) == "dense-pallas-win", b.describe_scan(8)
+    ra = a.search_batch(q, 10)
+    rb = b.search_batch(q, 10)
+    for ha, hb in zip(ra, rb):
+        assert [h.id for h in ha] == [h.id for h in hb]
+        assert np.allclose([h.score for h in ha], [h.score for h in hb],
+                           atol=1e-4)
