@@ -97,6 +97,8 @@ BASELINES = {
     # kernels on real hardware; _adc = refine=0 memory-parity pure ADC
     "ivfpq1m_clustered": None,
     "ivfpq1m_adc": None,
+    # same int8 workload as sq8_100k (ref P10-14: 461.4 QPS), serving batch
+    "sq8_100k_b1024": 461.4,
 }
 
 CONFIGS = {
@@ -214,6 +216,16 @@ CONFIGS = {
     "ivfpq1m_r128": ("IVF_PQ", 1_000_000, 128,
                      {"nlist": 1000, "pq_m": 16, "ksub": 256, "refine": 128,
                       "train_dtype": "bfloat16"}),
+    # PQ at 1M at a serving batch: the probe ADC kernels with batched
+    # dispatch (the committed b64 rows amortize the tunnel poorly). NOT
+    # directly comparable with the hnsw1m_* rows: clustered corpora track
+    # nlist, so this runs on 1000 natural clusters vs HNSW's 100
+    "ivfpq1m_clustered_b256": ("IVF_PQ", 1_000_000, 128,
+                               {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                                "train_dtype": "bfloat16", "batch": 256}),
+    # SQ8 at the serving batch (ref headline: 461.4 QPS after int8 kernels,
+    # P10-14) — the committed b64 row is dispatch-bound
+    "sq8_100k_b1024": ("FLAT_SQ8", 100_000, 128, {"batch": 1024}),
     # HNSW 1M at a serving batch: the b64 row is utilization-bound (small
     # per-iteration gathers), not algorithmically bound
     "hnsw1m_clustered_b256": ("HNSW", 1_000_000, 128,
@@ -230,7 +242,7 @@ CONFIGS = {
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc",
              "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
-             "ivfpq1m_r128", "ivfpq1m_bf16slab"}
+             "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256"}
 
 
 def log(*a):

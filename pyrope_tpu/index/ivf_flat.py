@@ -560,12 +560,13 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         # windowed-Pallas eligibility for wide cluster tables: per-tile
         # cluster bands of the cluster-major slab (see ops/pallas_scan)
         tile_clo, win_ok = None, False
-        if kpad > 512:  # PALLAS_IVF_MAX_KPAD — narrow tables use the plain kernel
-            from pyrope_tpu.ops.pallas_scan import (
-                padded_probe_width,
-                tile_cluster_windows,
-            )
+        from pyrope_tpu.ops.pallas_scan import (
+            PALLAS_IVF_MAX_KPAD,
+            padded_probe_width,
+            tile_cluster_windows,
+        )
 
+        if kpad > PALLAS_IVF_MAX_KPAD:  # narrow tables use the plain kernel
             tile_clo, win_ok = tile_cluster_windows(
                 crow, n, npad, min(4096, npad), padded_probe_width(kpad)
             )
@@ -639,42 +640,59 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         ms = options.max_scans if options.max_scans is not None else self._main_n
         return self._run_scan(dev, q, top_k, nprobe, ms)
 
-    def _run_scan(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
+    def _resolve_scan(self, dev: dict, batch: int, nprobe: int, ms: int) -> str:
+        """Resolve (batch, nprobe, max_scans) to the kernel that will run:
+        'probe', 'dense-xla', 'dense-pallas', or 'dense-pallas-win'. The
+        SINGLE source of routing truth, shared by _run_scan (dispatch) and
+        describe_scan (bench labeling) so a recorded scan_path is always the
+        kernel actually measured."""
+        from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
         p_ok = pallas_dense_ok(
             self.selection, self.metric, self.compute_dtype,
-            dev["xperm"].shape[0], dev["cents"].shape[0], q.shape[0],
+            dev["xperm"].shape[0], dev["cents"].shape[0], batch,
             ms, self._main_n, win_ok=dev.get("win_ok", False),
         )
         mode = pick_scan_mode(
             self.scan_mode, dev["xperm"].shape[0], nprobe, dev["l_pad"],
-            batch=q.shape[0], pallas_ok=p_ok,
+            batch=batch, pallas_ok=p_ok,
         )
-        if mode == "dense":
-            if p_ok:
-                from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+        if mode != "dense":
+            return "probe"
+        if not p_ok:
+            return "dense-xla"
+        return ("dense-pallas-win"
+                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
+                else "dense-pallas")
 
-                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD:
-                    fn = _ivf_dense_pallas_win_fn(self.metric, top_k, nprobe)
-                    return fn(
-                        dev["cents"], dev["cvalid"], dev["xperm"],
-                        dev["sqnorm"], dev["alive"], dev["offsets"],
-                        dev["lens"], dev["crow"], dev["tile_clo"],
-                        q, device_i32(ms),
-                    )
-                fn = _ivf_dense_pallas_fn(self.metric, top_k, nprobe)
-                return fn(
-                    dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
-                    dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
-                    q, device_i32(ms),
-                )
-            if self.selection == "pallas" and ms >= self._main_n:
-                # a per-query max_scans budget (ms < n, e.g. SLO
-                # degradation) falls back to the XLA kernels silently;
-                # anything else under explicit 'pallas' is a config error
-                raise ValueError(
-                    "selection='pallas' requires the fused dense kernel "
-                    "(L2/IP, fp32 compute, tile-divisible shapes)"
-                )
+    def _run_scan(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
+        path = self._resolve_scan(dev, q.shape[0], nprobe, ms)
+        if (self.selection == "pallas" and ms >= self._main_n
+                and path in ("probe", "dense-xla")):
+            # a per-query max_scans budget (ms < n, e.g. SLO degradation)
+            # falls back to the XLA kernels silently; anything else under
+            # explicit 'pallas' — including a probe-mode resolution — is a
+            # config error, never a silent kernel swap
+            raise ValueError(
+                "selection='pallas' requires the fused dense kernel but the "
+                f"scan resolved to {path!r} (needs dense mode, L2/IP, fp32 "
+                "compute, tile-divisible shapes)"
+            )
+        if path == "dense-pallas-win":
+            fn = _ivf_dense_pallas_win_fn(self.metric, top_k, nprobe)
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
+                dev["tile_clo"], q, device_i32(ms),
+            )
+        if path == "dense-pallas":
+            fn = _ivf_dense_pallas_fn(self.metric, top_k, nprobe)
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
+                q, device_i32(ms),
+            )
+        if path == "dense-xla":
             fn = _ivf_dense_fn(self.metric, top_k, nprobe, self.compute_dtype)
             return fn(
                 dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
@@ -687,32 +705,18 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             dev["offsets"], dev["lens"], q, device_i32(ms),
         )
 
-    def describe_scan(self, batch: int, nprobe: Optional[int] = None) -> str:
-        """Which kernel a (batch, nprobe) query would run: 'probe',
-        'dense-xla', 'dense-pallas', or 'dense-pallas-win'. Benchmark rows
-        record this so a QPS number is never quoted without its code path."""
+    def describe_scan(self, batch: int, nprobe: Optional[int] = None,
+                      max_scans: Optional[int] = None) -> str:
+        """Which kernel a (batch, nprobe, max_scans) query would run:
+        'probe', 'dense-xla', 'dense-pallas', or 'dense-pallas-win'
+        (max_scans None = full scan). Benchmark rows record this so a QPS
+        number is never quoted without its code path."""
         if not self._built:
             return "buffer"
         dev = self._sync()
         np_eff = min(nprobe or self.nprobe, dev["k_actual"])
-        p_ok = pallas_dense_ok(
-            self.selection, self.metric, self.compute_dtype,
-            dev["xperm"].shape[0], dev["cents"].shape[0], batch,
-            self._main_n, self._main_n, win_ok=dev.get("win_ok", False),
-        )
-        mode = pick_scan_mode(
-            self.scan_mode, dev["xperm"].shape[0], np_eff, dev["l_pad"],
-            batch=batch, pallas_ok=p_ok,
-        )
-        if mode != "dense":
-            return "probe"
-        if not p_ok:
-            return "dense-xla"
-        from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
-
-        return ("dense-pallas-win"
-                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
-                else "dense-pallas")
+        ms = max_scans if max_scans is not None else self._main_n
+        return self._resolve_scan(dev, batch, np_eff, ms)
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -542,12 +542,13 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         # windowed-Pallas eligibility for wide cluster tables (see
         # pyrope_tpu/index/ivf_flat.py _host_tables — same mechanism)
         tile_clo, win_ok = None, False
-        if kpad > 512:  # PALLAS_IVF_MAX_KPAD
-            from pyrope_tpu.ops.pallas_scan import (
-                padded_probe_width,
-                tile_cluster_windows,
-            )
+        from pyrope_tpu.ops.pallas_scan import (
+            PALLAS_IVF_MAX_KPAD,
+            padded_probe_width,
+            tile_cluster_windows,
+        )
 
+        if kpad > PALLAS_IVF_MAX_KPAD:
             tile_clo, win_ok = tile_cluster_windows(
                 crow, n, npad, min(4096, npad), padded_probe_width(kpad)
             )
@@ -616,9 +617,12 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         self._dirty = False
         return self._dev
 
-    def _run_device(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
-        """Dispatch the jitted query: pure ADC, or ADC-shortlist + exact
-        rerank when ``refine`` is enabled.
+    def _resolve_scan(self, dev: dict, batch: int, nprobe: int, ms: int) -> str:
+        """Resolve (batch, nprobe, max_scans) to the kernel that will run:
+        'probe-adc', 'probe-adc+rerank', 'dense-adc', 'dense-exact-xla',
+        'dense-exact-pallas', or 'dense-exact-pallas-win'. The SINGLE source
+        of routing truth, shared by _run_device (dispatch) and describe_scan
+        (bench labeling).
 
         With ``refine > 0`` the two scan modes return DIFFERENT hit sets
         (dense exact-scans the rerank slab; probe reranks an ADC shortlist),
@@ -626,76 +630,90 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         results batch-invariant for a given index. With ``refine == 0`` both
         modes score identical ADC sums and auto may pick by traffic."""
         from pyrope_tpu.index.ivf_flat import (
+            DENSE_MAX_ELEMS,
             DENSE_MAX_ROWS,
             pallas_dense_ok,
             pick_scan_mode,
         )
+        from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
 
-        search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
-        probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        search_metric = (
+            Metric.INNER_PRODUCT if self.metric == Metric.COSINE
+            else self.metric
+        )
         # Fused-Pallas eligibility of the rerank-slab scan (refine>0 dense):
         # that kernel streams tiles with a [B, k] running top-k, so the
         # DENSE_MAX_ELEMS OOM guard (which protects the XLA fallback's
         # [B, npad] transients) must not demote its batches.
         p_ok = self.refine > 0 and pallas_dense_ok(
             "auto", search_metric, None, dev["xraw"].shape[0],
-            dev["cents"].shape[0], q.shape[0], ms,
+            dev["cents"].shape[0], batch, ms,
             self._codes.shape[0], win_ok=dev.get("win_ok", False),
         )
+        npad = dev["codes"].shape[0]
         if self.scan_mode == "auto" and self.refine > 0:
-            from pyrope_tpu.index.ivf_flat import DENSE_MAX_ELEMS
-
-            npad = dev["codes"].shape[0]
             mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
-            if not p_ok and q.shape[0] * npad > DENSE_MAX_ELEMS:
+            if not p_ok and batch * npad > DENSE_MAX_ELEMS:
                 mode = "probe"  # OOM guard outranks batch-invariance
         else:
             mode = pick_scan_mode(
-                self.scan_mode, dev["codes"].shape[0], nprobe, dev["l_pad"],
-                batch=q.shape[0], pallas_ok=p_ok,
+                self.scan_mode, npad, nprobe, dev["l_pad"], batch=batch,
+                pallas_ok=p_ok,
             )
-        if mode == "dense":
-            if self.refine > 0:
-                from pyrope_tpu.index.ivf_flat import _ivf_dense_pallas_fn
+        if mode != "dense":
+            return "probe-adc+rerank" if self.refine > 0 else "probe-adc"
+        if self.refine == 0:
+            return "dense-adc"
+        if not p_ok:
+            return "dense-exact-xla"
+        return ("dense-exact-pallas-win"
+                if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
+                else "dense-exact-pallas")
 
-                if p_ok:
-                    # fused Pallas dense scan of the rerank slab; bf16
-                    # storage is promoted to fp32 in-kernel so scores match
-                    # the XLA dense-exact path (see _ivfpq_dense_exact_fn)
-                    from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+    def _run_device(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
+        """Dispatch the jitted query: pure ADC, or ADC-shortlist + exact
+        rerank when ``refine`` is enabled (routing: see _resolve_scan)."""
+        search_metric = Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
+        probe_metric = Metric.L2 if self.metric == Metric.COSINE else self.metric
+        path = self._resolve_scan(dev, q.shape[0], nprobe, ms)
+        if path == "dense-exact-pallas-win":
+            from pyrope_tpu.index.ivf_flat import _ivf_dense_pallas_win_fn
 
-                    if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD:
-                        from pyrope_tpu.index.ivf_flat import (
-                            _ivf_dense_pallas_win_fn,
-                        )
+            # fused Pallas dense scan of the rerank slab; bf16 storage is
+            # promoted to fp32 in-kernel so scores match the XLA
+            # dense-exact path (see _ivfpq_dense_exact_fn)
+            fn = _ivf_dense_pallas_win_fn(
+                search_metric, top_k, nprobe, promote=True,
+                probe_metric=probe_metric,
+            )
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xraw"],
+                dev["xsqnorm"], dev["alive"], dev["offsets"],
+                dev["lens"], dev["crow"], dev["tile_clo"],
+                q, device_i32(ms),
+            )
+        if path == "dense-exact-pallas":
+            from pyrope_tpu.index.ivf_flat import _ivf_dense_pallas_fn
 
-                        fn = _ivf_dense_pallas_win_fn(
-                            search_metric, top_k, nprobe, promote=True,
-                            probe_metric=probe_metric,
-                        )
-                        return fn(
-                            dev["cents"], dev["cvalid"], dev["xraw"],
-                            dev["xsqnorm"], dev["alive"], dev["offsets"],
-                            dev["lens"], dev["crow"], dev["tile_clo"],
-                            q, device_i32(ms),
-                        )
-                    fn = _ivf_dense_pallas_fn(
-                        search_metric, top_k, nprobe, promote=True,
-                        probe_metric=probe_metric,
-                    )
-                    return fn(
-                        dev["cents"], dev["cvalid"], dev["xraw"],
-                        dev["xsqnorm"], dev["alive"], dev["offsets"],
-                        dev["lens"], dev["crow"], q, device_i32(ms),
-                    )
-                fn = _ivfpq_dense_exact_fn(
-                    search_metric, top_k, nprobe, probe_metric=probe_metric,
-                )
-                return fn(
-                    dev["cents"], dev["cvalid"], dev["alive"],
-                    dev["offsets"], dev["lens"], dev["crow"], dev["pos"],
-                    dev["xraw"], dev["xsqnorm"], q, device_i32(ms),
-                )
+            fn = _ivf_dense_pallas_fn(
+                search_metric, top_k, nprobe, promote=True,
+                probe_metric=probe_metric,
+            )
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xraw"],
+                dev["xsqnorm"], dev["alive"], dev["offsets"],
+                dev["lens"], dev["crow"], q, device_i32(ms),
+            )
+        if path == "dense-exact-xla":
+            fn = _ivfpq_dense_exact_fn(
+                search_metric, top_k, nprobe, probe_metric=probe_metric,
+            )
+            return fn(
+                dev["cents"], dev["cvalid"], dev["alive"],
+                dev["offsets"], dev["lens"], dev["crow"], dev["pos"],
+                dev["xraw"], dev["xsqnorm"], q, device_i32(ms),
+            )
+        if path == "dense-adc":
             fn = _ivfpq_dense_fn(
                 search_metric, top_k, nprobe, probe_metric=probe_metric
             )
@@ -704,7 +722,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
                 dev["offsets"], dev["lens"], dev["codebooks"],
                 dev["cdot"], dev["crow"], dev["pos"], q, device_i32(ms),
             )
-        if self.refine > 0:
+        if path == "probe-adc+rerank":
             r = max(top_k, min(self.refine * top_k, self._codes.shape[0] or top_k))
             fn = _ivfpq_refine_search_fn(
                 search_metric, top_k, nprobe, dev["l_pad"], r,
@@ -737,53 +755,20 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         ms = options.max_scans if options.max_scans is not None else self._codes.shape[0]
         return self._run_device(dev, q, top_k, nprobe, ms)
 
-    def describe_scan(self, batch: int, nprobe: Optional[int] = None) -> str:
-        """Which kernel a (batch, nprobe) query would run — recorded in
-        bench rows so an 'IVF-PQ' QPS number always names its code path
-        (VERDICT r2: the 100k dense rows measure an exact bf16 scan of the
-        rerank slab, not ADC): 'probe-adc', 'probe-adc+rerank', 'dense-adc',
-        'dense-exact-xla', or 'dense-exact-pallas'."""
+    def describe_scan(self, batch: int, nprobe: Optional[int] = None,
+                      max_scans: Optional[int] = None) -> str:
+        """Which kernel a (batch, nprobe, max_scans) query would run —
+        recorded in bench rows so an 'IVF-PQ' QPS number always names its
+        code path (VERDICT r2: the 100k dense rows measure an exact bf16
+        scan of the rerank slab, not ADC): 'probe-adc', 'probe-adc+rerank',
+        'dense-adc', 'dense-exact-xla', 'dense-exact-pallas', or
+        'dense-exact-pallas-win' (max_scans None = full scan)."""
         if not self._built:
             return "buffer"
         dev = self._sync()
         np_eff = min(nprobe or self.nprobe, dev["k_actual"])
-        from pyrope_tpu.index.ivf_flat import (
-            DENSE_MAX_ELEMS,
-            DENSE_MAX_ROWS,
-            pallas_dense_ok,
-            pick_scan_mode,
-        )
-
-        npad = dev["codes"].shape[0]
-        search_metric = (
-            Metric.INNER_PRODUCT if self.metric == Metric.COSINE
-            else self.metric
-        )
-        p_ok = self.refine > 0 and pallas_dense_ok(
-            "auto", search_metric, None, dev["xraw"].shape[0],
-            dev["cents"].shape[0], batch, self._codes.shape[0],
-            self._codes.shape[0], win_ok=dev.get("win_ok", False),
-        )
-        if self.scan_mode == "auto" and self.refine > 0:
-            mode = "dense" if npad <= DENSE_MAX_ROWS else "probe"
-            if not p_ok and batch * npad > DENSE_MAX_ELEMS:
-                mode = "probe"
-        else:
-            mode = pick_scan_mode(
-                self.scan_mode, npad, np_eff, dev["l_pad"], batch=batch,
-                pallas_ok=p_ok,
-            )
-        if mode == "dense":
-            if self.refine == 0:
-                return "dense-adc"
-            if not p_ok:
-                return "dense-exact-xla"
-            from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
-
-            return ("dense-exact-pallas-win"
-                    if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
-                    else "dense-exact-pallas")
-        return "probe-adc+rerank" if self.refine > 0 else "probe-adc"
+        ms = max_scans if max_scans is not None else self._codes.shape[0]
+        return self._resolve_scan(dev, batch, np_eff, ms)
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
         return [

@@ -260,6 +260,23 @@ def _symmetrize(adj: np.ndarray, n: int, rev_cap: int) -> np.ndarray:
     return su
 
 
+def _fill_tail_slots(row: np.ndarray, take: list[int]) -> None:
+    """Write ``take`` into ``row`` in place: free (-1) slots first, then the
+    tail-most OCCUPIED slots. Skips slots already claimed in this call —
+    free slots frequently sit at the row tail, so blind ``m-1-j`` indexing
+    would overwrite a link written a previous iteration (the highway-slot
+    collision: two of four cross-cluster links silently lost on exactly the
+    routing-backbone nodes)."""
+    free = np.flatnonzero(row < 0)
+    slots = list(free[: len(take)])
+    if len(take) > len(slots):
+        used = set(slots)
+        slots += [s for s in range(len(row) - 1, -1, -1)
+                  if s not in used][: len(take) - len(slots)]
+    for slot, t in zip(slots, take):
+        row[slot] = t
+
+
 def _layer0_candidates(xperm, sqnorm, cents: np.ndarray, offsets: np.ndarray,
                        lens: np.ndarray, n: int, l_pad: int, knn_r: int,
                        nprobe: int, metric: Metric) -> np.ndarray:
@@ -426,7 +443,7 @@ def bootstrap_build(
     nprobe: int = DEFAULT_NPROBE,
     descent_rounds: int = 1,
     seed: int = 42,
-) -> tuple[np.ndarray, np.ndarray, int, int]:
+) -> tuple[np.ndarray, np.ndarray, int, int, np.ndarray]:
     """Build the full HNSW layer stack on device.
 
     vecs [n, D] float32 (cosine rows pre-normalized by the caller), levels
@@ -576,11 +593,9 @@ def bootstrap_build(
                 targets = [int(t) for t in reps[cluster_nn[c]]
                            if t >= 0 and t != u and t not in sel[i]]
                 row = sel[i]
-                free = np.flatnonzero(row < 0)
-                take = targets[: max(len(free), min(4, m // 4))]
-                for j, t in enumerate(take):
-                    slot = free[j] if j < len(free) else m - 1 - (j - len(free))
-                    row[slot] = t
+                n_free = int((row < 0).sum())
+                take = targets[: max(n_free, min(4, m // 4))]
+                _fill_tail_slots(row, take)
             a[subset] = sel
         adj_up_p.append(a)
     _mark("upper layers")

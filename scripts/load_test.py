@@ -52,7 +52,7 @@ def start_app() -> tuple[PyropeApp, asyncio.AbstractEventLoop]:
 
 
 def worker(port: int, queries: np.ndarray, stop_at: float, out: list,
-           errors: list) -> None:
+           errors: list, index: str = "idx") -> None:
     lat = []
     n = 0
     rng = np.random.default_rng(threading.get_ident() % 2**32)
@@ -61,7 +61,7 @@ def worker(port: int, queries: np.ndarray, stop_at: float, out: list,
             while time.time() < stop_at:
                 q = queries[rng.integers(0, len(queries))]
                 t0 = time.perf_counter()
-                c.vec_search("lt", "idx", encode_vector(q), 10)
+                c.vec_search("lt", index, encode_vector(q), 10)
                 lat.append((time.perf_counter() - t0) * 1000)
                 n += 1
     except Exception as e:  # noqa: BLE001 — a dead worker must fail the cell
@@ -69,12 +69,14 @@ def worker(port: int, queries: np.ndarray, stop_at: float, out: list,
     out.append((n, lat))
 
 
-def run_cell(app, port, queries, concurrency: int, duration: float) -> dict:
+def run_cell(app, port, queries, concurrency: int, duration: float,
+             index: str = "idx") -> dict:
     stop_at = time.time() + duration
     results: list = []
     errors: list = []
     threads = [
-        threading.Thread(target=worker, args=(port, queries, stop_at, results, errors))
+        threading.Thread(target=worker,
+                         args=(port, queries, stop_at, results, errors, index))
         for _ in range(concurrency)
     ]
     t0 = time.time()

@@ -77,7 +77,8 @@ def backfill(name: str, topk: int = 10, n_queries: int = 1024) -> dict:
     )
     print(f"[{name}] oracle: recall_ref={recall_ref} "
           f"({time.perf_counter() - t0:.1f}s)", flush=True)
-    return {"config": name, "recall_ref": recall_ref, "n_oracle": n_oracle}
+    return {"config": name, "batch": batch, "recall_ref": recall_ref,
+            "n_oracle": n_oracle}
 
 
 def main() -> None:
@@ -89,12 +90,16 @@ def main() -> None:
     results = [backfill(n) for n in names]
     with open(detail_path) as f:
         detail = json.load(f)
-    by_cfg = {r["config"]: r for r in detail}
+    # BENCH_DETAIL is keyed (config, batch): the oracle's query subset is
+    # queries[:batch][:256], so a result only describes the row measured at
+    # the SAME batch (a --batch override rerun creates sibling rows)
+    by_key = {(r["config"], r.get("batch")): r for r in detail}
     for res in results:
-        row = by_cfg.get(res["config"])
+        row = by_key.get((res["config"], res["batch"]))
         if row is None:
-            print(f"WARNING: no bench row for {res['config']} — oracle result "
-                  f"not merged (run the bench config first)", flush=True)
+            print(f"WARNING: no bench row for {res['config']} at batch "
+                  f"{res['batch']} — oracle result not merged (run the bench "
+                  f"config first)", flush=True)
             continue
         row["recall_ref"] = res["recall_ref"]
         row["n_oracle"] = res["n_oracle"]

@@ -178,3 +178,27 @@ def test_bootstrap_requires_heuristic_falls_back():
     idx.add_batch([str(i) for i in range(500)], base)
     assert idx.get_stats().count == 500
     assert idx.search(base[3], 1)[0].id == "3"
+
+
+def test_fill_tail_slots_no_collision():
+    """Regression: when the free slots sit at the row tail, the overflow
+    tail-overwrite must not clobber a slot just filled (the old m-1-j
+    indexing lost half the highway links on routing-backbone nodes)."""
+    import numpy as np
+
+    from pyrope_tpu.ops.hnsw_bootstrap import _fill_tail_slots
+
+    m = 6
+    row = np.array([10, 11, 12, 13, -1, -1], np.int32)  # free = tail slots
+    _fill_tail_slots(row, [100, 101, 102, 103])
+    assert sorted(x for x in row if x >= 100) == [100, 101, 102, 103]
+    # the two free slots took two targets; two occupied tail-most
+    # NON-claimed slots (3, 2) took the rest
+    assert row[4] == 100 and row[5] == 101
+    assert row[3] == 102 and row[2] == 103
+    assert row[0] == 10 and row[1] == 11  # head links untouched
+
+    # fewer targets than free slots: no overwrites at all
+    row2 = np.array([-1, 20, -1, 21], np.int32)
+    _fill_tail_slots(row2, [7])
+    assert list(row2) == [7, 20, -1, 21]

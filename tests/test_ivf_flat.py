@@ -212,3 +212,24 @@ def test_scan_mode_snapshot_roundtrip(tmp_path):
     idx2 = IvfFlatIndex(8, "L2")
     idx2.load(p)
     assert idx2.scan_mode == "dense"
+
+
+def test_selection_pallas_probe_mode_raises():
+    """selection='pallas' pins the fused dense kernel; a scan that resolves
+    to probe mode (or the XLA dense fallback) must raise, never silently
+    swap kernels (review finding: probe-mode resolution was unchecked)."""
+    import pytest
+
+    from pyrope_tpu.types import SearchOptions
+    from pyrope_tpu.utils.datasets import synthetic
+
+    base = synthetic(2048, 16)
+    idx = IvfFlatIndex(16, "L2", nlist=8, nprobe=2, selection="pallas",
+                       scan_mode="probe")
+    idx.add_batch([str(i) for i in range(2048)], base)
+    idx.build()
+    with pytest.raises(ValueError, match="selection='pallas'"):
+        idx.search_batch(base[:8], 5)
+    # a max_scans budget is an explicit opt-out: XLA fallback is allowed
+    hits = idx.search_batch(base[:8], 5, SearchOptions(max_scans=512))
+    assert hits[0]
