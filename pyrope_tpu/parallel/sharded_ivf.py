@@ -65,7 +65,12 @@ def roundrobin_layout(lens: np.ndarray, offsets: np.ndarray, nd: int, kpad: int)
     l_pad = int(round_up(max(int(local_lens.max()) if k else 1, 1), 128))
     local_offsets = np.zeros((nd, kpad), np.int32)
     caps = local_lens.sum(axis=1)
+    # tile-friendly rounding (like the single-chip slab_pad): the per-shard
+    # fused Pallas dense kernel needs cap_local % row_tile == 0; extra rows
+    # are alive=False so the XLA kernels ignore them too
     cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+    cap_local = int(round_up(cap_local, 4096) if cap_local > 4096
+                    else round_up(cap_local, 128))
     placements = []
     cursor = np.zeros(nd, np.int64)
     for li in range(k):
@@ -186,6 +191,76 @@ def make_sharded_ivf_dense_search(
     return jax.jit(fn)
 
 
+def make_sharded_ivf_dense_pallas_search(
+    mesh: Mesh, metric: Metric, k: int, nprobe: int, stride: int,
+    kpad: int, windowed: bool, row_tile: int,
+):
+    """shard_map'd FUSED dense scan: each shard runs the single-chip Pallas
+    dense-mask kernel (ops/pallas_scan.pallas_ivf_topk[_windowed]) over its
+    own cluster-major slab — tiles stream HBM→VMEM with a [B, k] running
+    top-k, never materializing the per-shard [B, cap_local] score matrix the
+    XLA dense kernel needs — then the [B, k] local winners ride the same ICI
+    all_gather merge. Full-scan semantics only (the caller falls back to the
+    XLA kernels under a max_scans budget). ``windowed`` selects the
+    wide-cluster-table variant; its per-shard tile_clo table is an extra
+    DATA-sharded input."""
+    from pyrope_tpu.index.ivf_flat import probed_table, probed_table_t
+    from pyrope_tpu.ops.pallas_scan import (
+        PALLAS_IVF_WINDOW,
+        pallas_ivf_topk,
+        pallas_ivf_topk_windowed,
+    )
+
+    two_d = BATCH_AXIS in mesh.axis_names
+
+    def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, crow,
+              tile_clo, q, ms_local):
+        xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
+        offsets, lens, crow = offsets[0], lens[0], crow[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        # probe selection is identical on every shard (replicated centroids)
+        probe, _, _ = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, metric, None,
+        )
+        bt = min(128, q.shape[0])
+        if windowed:
+            probed_t = probed_table_t(probe, kpad, PALLAS_IVF_WINDOW)
+            vals, lrows = pallas_ivf_topk_windowed(
+                q, xperm, sqnorm, alive, crow, probed_t, tile_clo[0], k,
+                metric, row_tile=row_tile, batch_tile=bt,
+            )
+        else:
+            probed = probed_table(probe, kpad)
+            vals, lrows = pallas_ivf_topk(
+                q, xperm, sqnorm, alive, crow, probed, k, metric,
+                row_tile=row_tile, batch_tile=bt,
+            )
+        gidx = jnp.where(lrows >= 0, shard * stride + lrows, -1)
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos_k = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None),
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            q_spec, P(),
+        ),
+        out_specs=(out_one, out_one),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 class ShardedIvfFlatIndex(IvfFlatIndex):
     """IvfFlatIndex whose built slab is list-sliced over a 1-D mesh.
 
@@ -265,6 +340,33 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             cents[:k] = self._centroids
             cvalid[:k] = True
 
+        # per-shard fused-Pallas dense eligibility: every local slab is
+        # cluster-major (cursor construction above), so the windowed kernel
+        # applies shard-locally for wide cluster tables; win_ok must hold on
+        # EVERY shard (the shard_map'd kernel is one program)
+        from pyrope_tpu.ops.pallas_scan import (
+            PALLAS_IVF_MAX_KPAD,
+            padded_probe_width,
+            tile_cluster_windows,
+        )
+
+        row_tile = min(4096, cap_local)
+        win_ok = kpad <= PALLAS_IVF_MAX_KPAD
+        n_tiles = max(cap_local // row_tile, 1)
+        tile_clo = np.zeros((nd, n_tiles), np.int32)
+        if kpad > PALLAS_IVF_MAX_KPAD:
+            win_ok = True
+            kp_probe = padded_probe_width(kpad)
+            for s in range(nd):
+                tot = int(local_lens[s].sum())
+                clo_s, ok_s = tile_cluster_windows(
+                    crow_l[s], tot, cap_local, row_tile, kp_probe
+                )
+                if not ok_s:
+                    win_ok = False
+                    break
+                tile_clo[s] = clo_s
+
         row3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         row2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
         self._enc_to_perm = enc_to_perm
@@ -278,6 +380,10 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             "lens": jax.device_put(jnp.asarray(local_lens), row2),
             "crow": jax.device_put(jnp.asarray(crow_l), row2),
             "pos": jax.device_put(jnp.asarray(pos_l), row2),
+            "tile_clo": jax.device_put(jnp.asarray(tile_clo), row2),
+            "win_ok": win_ok,
+            "row_tile": row_tile,
+            "kpad": kpad,
             "l_pad": l_pad,
             "stride": stride,
             "k_actual": k,
@@ -310,15 +416,19 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             ms_local = dev["stride"]
         else:
             ms_local = (options.max_scans + self._ndev - 1) // self._ndev
-        # mode decided on per-shard local volumes (each shard scans its own
-        # slab; stride ≈ local rows)
-        mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
-                              dev["l_pad"], batch=q.shape[0])
+        path = self._resolve_sharded_scan(
+            dev, q.shape[0], nprobe, uncapped=options.max_scans is None,
+        )
         # metric is part of the key: load() may swap self.metric in place
-        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric, mode)
+        key = (top_k, nprobe, dev["l_pad"], dev["stride"], self.metric, path)
         fn = self._fn_cache.get(key)
         if fn is None:
-            if mode == "dense":
+            if path in ("dense-pallas", "dense-pallas-win"):
+                fn = make_sharded_ivf_dense_pallas_search(
+                    self.mesh, self.metric, top_k, nprobe, dev["stride"],
+                    dev["kpad"], path == "dense-pallas-win", dev["row_tile"],
+                )
+            elif path == "dense-xla":
                 fn = make_sharded_ivf_dense_search(
                     self.mesh, self.metric, top_k, nprobe,
                     dev["stride"], self.compute_dtype,
@@ -329,7 +439,13 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
                     dev["stride"], self.compute_dtype,
                 )
             self._fn_cache[key] = fn
-        if mode == "dense":
+        if path in ("dense-pallas", "dense-pallas-win"):
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
+                dev["tile_clo"], q, device_i32(ms_local),
+            )
+        if path == "dense-xla":
             return fn(
                 dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
                 dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
@@ -338,6 +454,45 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         return fn(
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
             dev["alive"], dev["offsets"], dev["lens"], q, device_i32(ms_local),
+        )
+
+    def _resolve_sharded_scan(self, dev: dict, batch: int, nprobe: int,
+                              uncapped: bool) -> str:
+        """Per-shard kernel resolution (analog of IvfFlatIndex._resolve_scan
+        on local shard volumes): 'probe', 'dense-xla', 'dense-pallas', or
+        'dense-pallas-win'. The fused kernels have full-scan semantics, so a
+        max_scans budget falls back to the XLA dense kernel (where the
+        shard-local eff < lens budget applies)."""
+        from pyrope_tpu.index.ivf_flat import pallas_dense_ok
+
+        p_ok = uncapped and pallas_dense_ok(
+            self.selection, self.metric, self.compute_dtype,
+            dev["stride"], dev["kpad"], batch,
+            dev["stride"], dev["stride"], win_ok=dev["win_ok"],
+        )
+        # mode decided on per-shard local volumes (each shard scans its own
+        # slab; stride ≈ local rows)
+        mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
+                              dev["l_pad"], batch=batch, pallas_ok=p_ok)
+        if mode != "dense":
+            return "probe"
+        if not p_ok:
+            return "dense-xla"
+        from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+
+        return ("dense-pallas-win" if dev["kpad"] > PALLAS_IVF_MAX_KPAD
+                else "dense-pallas")
+
+    def describe_scan(self, batch: int, nprobe: Optional[int] = None,
+                      max_scans: Optional[int] = None) -> str:
+        """Sharded analog of IvfFlatIndex.describe_scan: resolution runs on
+        per-shard local volumes, so the base-class tables don't apply."""
+        if not self._built:
+            return "buffer"
+        dev = self._sync()
+        np_eff = min(nprobe or self.nprobe, dev["k_actual"])
+        return self._resolve_sharded_scan(
+            dev, batch, np_eff, uncapped=max_scans is None,
         )
 
     def _decode(self, rows: np.ndarray) -> np.ndarray:

@@ -500,3 +500,60 @@ class TestShardedDenseScan:
                         sh.search_batch(q, 10, opts)):
             a_ids, b_ids = {h.id for h in a}, {h.id for h in b}
             assert len(a_ids & b_ids) / max(len(a_ids), 1) >= 0.9
+
+
+class TestShardedPallasDense:
+    """The sharded dense scan rides the fused Pallas kernels per shard
+    (narrow one-hot and windowed wide-table variants), with the same hit
+    sets as the single-chip index and the XLA fallback under budgets."""
+
+    def test_narrow_path_and_parity(self):
+        from pyrope_tpu.index.ivf_flat import IvfFlatIndex
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        base = synthetic(4096, 32)
+        ids = [str(i) for i in range(4096)]
+        sh = ShardedIvfFlatIndex(32, "L2", mesh=make_mesh(8), nlist=16,
+                                 nprobe=8)
+        sh.add_batch(ids, base)
+        sh.build()
+        assert sh.describe_scan(64, 8) == "dense-pallas"
+        # a max_scans budget needs eff < lens semantics: XLA fallback
+        assert sh.describe_scan(64, 8, max_scans=100) == "dense-xla"
+
+        ref = IvfFlatIndex(32, "L2", nlist=16, nprobe=8)
+        ref.add_batch(ids, base)
+        ref.build()
+        q = synthetic(64, 32)
+        a = sh.search_batch(q, 10)
+        b = ref.search_batch(q, 10)
+        for i in range(64):
+            assert [h.id for h in a[i]] == [h.id for h in b[i]]
+
+    def test_windowed_path_and_parity(self):
+        """kpad > PALLAS_IVF_MAX_KPAD with multi-tile shards: per-shard
+        cluster bands fit the window, so the sharded scan routes to the
+        windowed fused kernel (nlist=640 -> kpad 640; 131k rows -> 16k-row
+        shards, 4 tiles of 4096 spanning ~160 clusters each)."""
+        from pyrope_tpu.index.ivf_flat import IvfFlatIndex
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        n = 131072
+        base = synthetic(n, 16)
+        ids = [str(i) for i in range(n)]
+        sh = ShardedIvfFlatIndex(16, "L2", mesh=make_mesh(8), nlist=640,
+                                 nprobe=64)
+        sh.add_batch(ids, base)
+        sh.build()
+        assert sh.describe_scan(64, 64) == "dense-pallas-win"
+        ref = IvfFlatIndex(16, "L2", nlist=640, nprobe=64)
+        ref.add_batch(ids, base)
+        ref.build()
+        q = synthetic(64, 16)
+        a = sh.search_batch(q, 10)
+        b = ref.search_batch(q, 10)
+        ov = np.mean(
+            [len({h.id for h in a[i]} & {h.id for h in b[i]}) / 10
+             for i in range(64)]
+        )
+        assert ov == 1.0, ov
