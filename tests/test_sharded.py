@@ -557,3 +557,30 @@ class TestShardedPallasDense:
              for i in range(64)]
         )
         assert ov == 1.0, ov
+
+
+def test_sharded_ivfpq_pallas_exact_scan_parity():
+    """The sharded IVF-PQ refine>0 dense path rides the fused per-shard
+    kernel (bf16/fp32 rerank slab promoted in-kernel) with the same hit
+    sets as the single-chip index; max_scans budgets keep the XLA kernel."""
+    from pyrope_tpu.index.ivf_pq import IvfPqIndex
+    from pyrope_tpu.parallel import make_mesh
+    from pyrope_tpu.parallel.sharded_ivf_pq import ShardedIvfPqIndex
+
+    base = synthetic(4096, 32)
+    ids = [str(i) for i in range(4096)]
+    sh = ShardedIvfPqIndex(32, "L2", mesh=make_mesh(8), nlist=16, pq_m=4,
+                           ksub=64, nprobe=8, refine=16)
+    sh.add_batch(ids, base)
+    sh.build()
+    assert sh.describe_scan(64, 8) == "dense-exact-pallas"
+    assert sh.describe_scan(64, 8, max_scans=100) == "dense-exact-xla"
+    ref = IvfPqIndex(32, "L2", nlist=16, pq_m=4, ksub=64, nprobe=8,
+                     refine=16)
+    ref.add_batch(ids, base)
+    ref.build()
+    q = synthetic(64, 32)
+    a = sh.search_batch(q, 10)
+    b = ref.search_batch(q, 10)
+    for i in range(64):
+        assert {h.id for h in a[i]} == {h.id for h in b[i]}
