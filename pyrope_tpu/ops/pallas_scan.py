@@ -178,7 +178,11 @@ def pallas_flat_topk(
     batch_tile: int = DEFAULT_BATCH_TILE,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused masked scan + exact top-k. q [B, D], x [N, D] (N, B already
-    padded to the tile sizes by the caller); returns ([B, k], [B, k])."""
+    padded to the tile sizes by the caller); returns ([B, k], [B, k]).
+
+    ``max_scans`` is a Python int (cached device constant) or a traced
+    int32 [1] array — the latter lets shard_map bodies pass a per-shard
+    budget (global max_scans rebased to local slab rows)."""
     metric = Metric.parse(metric)
     if metric == Metric.COSINE:
         raise ValueError("pre-normalize rows and use IP for cosine")
@@ -192,7 +196,9 @@ def pallas_flat_topk(
     fn = _build(metric, k, b, n, d, str(x.dtype), row_tile, batch_tile, interpret)
     from pyrope_tpu.ops.scalars import device_i32x1
 
-    vals, idx = fn(device_i32x1(max_scans), q, x, sqnorm, alive)
+    ms = (max_scans if isinstance(max_scans, jax.Array)
+          else device_i32x1(max_scans))
+    vals, idx = fn(ms, q, x, sqnorm, alive)
     # kernels cannot capture jnp -inf, so missing hits carry the finite
     # sentinel internally; restore the masked_topk convention (-inf score,
     # idx -1) so isfinite-based missing-hit detection works downstream

@@ -71,6 +71,54 @@ def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None)
     return jax.jit(fn)
 
 
+def make_sharded_pallas_search(mesh: Mesh, metric: Metric, k: int,
+                               row_tile: int):
+    """Sharded FUSED exact scan: each shard runs the single-chip Pallas
+    scan+running-top-k kernel (ops/pallas_scan.pallas_flat_topk) over its
+    own row block — no per-shard [B, rows_local] score materialization —
+    then the [B, k] ICI all_gather merge. The global max_scans budget is
+    rebased per shard (rows are block-sharded, so shard s owns global rows
+    [s·L, (s+1)·L) and its local budget is clip(ms − s·L, 0, L))."""
+    from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
+
+    two_d = BATCH_AXIS in mesh.axis_names
+
+    def local(vecs, sqnorm, alive, q, ms):
+        rows_local = vecs.shape[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+        base = shard * rows_local
+        ms_local = jnp.clip(
+            ms.astype(jnp.int32) - base, 0, rows_local
+        ).reshape(1)
+        bt = min(128, q.shape[0])
+        vals, idx = pallas_flat_topk(
+            q, vecs, sqnorm, alive, ms_local, k, metric,
+            row_tile=row_tile, batch_tile=bt,
+        )
+        gidx = jnp.where(idx >= 0, idx + base, -1)
+        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mvals, pos = jax.lax.top_k(vals_all, k)
+        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
+        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
+        return mvals, mids
+
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_spec = (
+        (P(BATCH_AXIS, None), P(BATCH_AXIS, None))
+        if two_d
+        else (P(None, None), P(None, None))
+    )
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), q_spec, P()),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def make_sharded_sq8_search(mesh: Mesh, metric: Metric, k: int, compute: str | None):
     """Sharded SQ8 scan: int8 codes + per-vector (min, scale) rows sharded
     over DATA_AXIS; same all-gather top-k merge as the dense scan. Closes
@@ -163,12 +211,14 @@ class ShardedFlatIndex(FlatIndex):
         storage: str = "fp32",
         compute_dtype: Optional[str] = None,
         min_capacity: int = 1024,
+        selection: str = "exact",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = int(self.mesh.shape[DATA_AXIS])  # rows shard over DATA only
         super().__init__(
             dim, metric, storage=storage, compute_dtype=compute_dtype,
             min_capacity=max(min_capacity, 8 * self._ndev),
+            selection=selection,
         )
 
     def _sync(self) -> dict:
@@ -214,18 +264,46 @@ class ShardedFlatIndex(FlatIndex):
     def _search_device(self, q, top_k, max_scans):
         dev = self._sync()
         ms = device_i32(self._count if max_scans is None else min(max_scans, self._count))
-        fn = self._sharded_fn(top_k)
-        if self.storage == "sq8":
+        fn, kind = self._sharded_fn(top_k, q.shape[0])
+        if kind == "sq8":
             return fn(dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
                       dev["alive"], q, ms)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 
-    def _sharded_fn(self, k: int):
+    def _pallas_eligible(self, batch: int) -> bool:
+        """Per-shard fused-kernel eligibility (mirrors the single-chip
+        FlatIndex pallas opt-in: selection='pallas', non-cosine; plus the
+        sharded tile-divisibility of the local row block)."""
+        if self.selection != "pallas" or self.metric == Metric.COSINE:
+            return False
+        if self.storage == "sq8":
+            return False
+        rows_local = round_up(self._cap, self._ndev) // self._ndev
+        rt = min(4096, rows_local)
+        return rows_local % rt == 0 and batch % min(128, batch) == 0
+
+    def _sharded_fn(self, k: int, batch: int):
         cache = getattr(self, "_fn_cache", None)
         if cache is None:
             cache = self._fn_cache = {}
-        key = (k, self.storage, self.metric)
+        if self.storage == "sq8":
+            kind = "sq8"
+        elif self._pallas_eligible(batch):
+            kind = "pallas"
+        else:
+            kind = "xla"
+        rows_local = round_up(self._cap, self._ndev) // self._ndev
+        key = (k, self.storage, self.metric, kind,
+               rows_local if kind == "pallas" else 0)
         if key not in cache:
-            make = make_sharded_sq8_search if self.storage == "sq8" else make_sharded_search
-            cache[key] = make(self.mesh, self.metric, k, self.compute_dtype)
-        return cache[key]
+            if kind == "sq8":
+                fn = make_sharded_sq8_search(self.mesh, self.metric, k,
+                                             self.compute_dtype)
+            elif kind == "pallas":
+                fn = make_sharded_pallas_search(self.mesh, self.metric, k,
+                                                min(4096, rows_local))
+            else:
+                fn = make_sharded_search(self.mesh, self.metric, k,
+                                         self.compute_dtype)
+            cache[key] = fn
+        return cache[key], kind

@@ -584,3 +584,31 @@ def test_sharded_ivfpq_pallas_exact_scan_parity():
     b = ref.search_batch(q, 10)
     for i in range(64):
         assert {h.id for h in a[i]} == {h.id for h in b[i]}
+
+
+def test_sharded_flat_pallas_parity_and_budget_rebase():
+    """selection='pallas' routes the sharded exact scan through the fused
+    per-shard kernel; the global max_scans budget is rebased to each
+    shard's block (shard s owns rows [s*L, (s+1)*L)), matching the
+    single-chip first-ms-slab-rows semantics exactly."""
+    from pyrope_tpu.parallel import ShardedFlatIndex, make_mesh
+
+    base = synthetic(5000, 32)
+    ids = [str(i) for i in range(5000)]
+    sh = ShardedFlatIndex(32, "L2", mesh=make_mesh(8), selection="pallas")
+    sh.add_batch(ids, base)
+    ref = FlatIndex(32, "L2")
+    ref.add_batch(ids, base)
+    q = synthetic(64, 32)
+    a = sh.search_batch(q, 10)
+    b = ref.search_batch(q, 10)
+    for i in range(64):
+        assert [h.id for h in a[i]] == [h.id for h in b[i]]
+    a2 = sh.search_batch(q, 10, SearchOptions(max_scans=700))
+    b2 = ref.search_batch(q, 10, SearchOptions(max_scans=700))
+    for i in range(64):
+        assert [h.id for h in a2[i]] == [h.id for h in b2[i]]
+    for h in a[0][:3]:
+        assert sh.delete(h.id)
+    a3 = sh.search_batch(q[:8], 10)
+    assert not ({h.id for h in a3[0]} & {h.id for h in a[0][:3]})
