@@ -61,6 +61,8 @@ BASELINES = {
     "flat1m_approx": None,
     "flat100k_approx": None,
     "delta_hnsw_pq": None,
+    # recall-matched composite vs the ref's compacted 460.4 (BASELINE.md:22)
+    "delta_hnsw_pq_wide": 460.4,
     "flat1m_pallas": None,
     "flat1m_pallas_fp32": None,
     "ivf1m": None,  # reference DNF'd at 1M (stalled at 93% load)
@@ -173,6 +175,11 @@ CONFIGS = {
     # recall-matched Delta: tail SearchOptions(nprobe=96) passes through the
     # composite (ref: DeltaVectorIndex.cs:76-122 forwards options)
     "delta20k_np96": ("DELTA", 20_000, 128, {"opts": {"nprobe": 96}}),
+    # recall-matched point of the HNSW+PQ composite (BASELINE.json config 5):
+    # tail IVF-PQ honors nprobe, head HNSW honors ef_search through the
+    # Delta SearchOptions pass-through (ref: DeltaVectorIndex.cs:76-122)
+    "delta_hnsw_pq_wide": ("DELTA_HNSW_PQ", 20_000, 128,
+                           {"opts": {"nprobe": 96, "ef_search": 200}}),
     # cosine at the serving batch: exact scan must print recall 1.0
     "flat100k_cos_b1024": ("FLAT_COS", 100_000, 128, {"batch": 1024}),
     "flat1m_pallas_b1024": ("FLAT_PALLAS", 1_000_000, 128, {"batch": 1024}),

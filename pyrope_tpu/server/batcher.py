@@ -55,11 +55,24 @@ class _Group:
 
 
 class MicroBatcher:
-    def __init__(self, max_batch: int = 64, max_wait_ms: float = 0.5):
+    def __init__(self, max_batch: int = 64, max_wait_ms: float = 0.5,
+                 max_inflight: int = 2):
+        """``max_inflight`` bounds concurrent device batches (0 = no gate).
+        The gate is what makes coalescing track device pressure: a leader
+        acquires a slot BEFORE closing its group, so while the device is
+        busy with earlier batches, the open group keeps absorbing arrivals
+        instead of spawning contending single-query dispatches. With a
+        ~30 ms-per-round-trip link (or any saturated chip) this is the
+        difference between avg_batch ~1 and avg_batch ~max_batch at high
+        concurrency; 2 keeps the dispatch pipeline non-empty while the
+        previous batch executes."""
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self._lock = threading.Lock()
         self._groups: dict[tuple, _Group] = {}
+        self._gate = (
+            threading.BoundedSemaphore(max_inflight) if max_inflight else None
+        )
         self.stats = BatcherStats()
 
     @staticmethod
@@ -100,12 +113,18 @@ class MicroBatcher:
             if not group.closed:
                 # wait for followers; a full group wakes us without polling
                 group.full.wait(self.max_wait_s)
+            # acquire a device slot BEFORE closing: while earlier batches
+            # hold the gate, this group stays open and keeps absorbing
+            # arrivals (it may fill and close via the max_batch path, which
+            # is fine — the queries list only ever grows until closed)
+            if self._gate is not None:
+                self._gate.acquire()
+            try:
                 with self._lock:
                     if not group.closed:
                         group.closed = True
                         if self._groups.get(key) is group:
                             self._groups.pop(key)
-            try:
                 batch = np.stack(group.queries)
                 group.results = index.search_batch(batch, top_k, options)
                 with self._lock:
@@ -117,6 +136,8 @@ class MicroBatcher:
             except BaseException as e:  # propagate to every rider
                 group.error = e
             finally:
+                if self._gate is not None:
+                    self._gate.release()
                 group.done.set()
         else:
             group.done.wait()

@@ -119,6 +119,10 @@ class EngineConfig:
     # batch (pyrope_tpu/server/batcher.py). 0 disables.
     microbatch_max: int = 64
     microbatch_wait_ms: float = 0.5
+    # concurrent device batches (see MicroBatcher.max_inflight); groups keep
+    # absorbing arrivals while the gate is held, so coalescing tracks device
+    # pressure instead of the fixed wait window. 0 = ungated.
+    microbatch_inflight: int = 2
     # index-config persistence (ref: Services/IndexMetadataManager.cs);
     # definitions are restored on engine construction
     index_meta_path: Optional[str] = None
@@ -160,7 +164,9 @@ class PyropeEngine:
         from pyrope_tpu.server.batcher import MicroBatcher
 
         self.batcher = (
-            MicroBatcher(self.config.microbatch_max, self.config.microbatch_wait_ms)
+            MicroBatcher(self.config.microbatch_max,
+                         self.config.microbatch_wait_ms,
+                         max_inflight=self.config.microbatch_inflight)
             if self.config.microbatch_max > 0
             else None
         )

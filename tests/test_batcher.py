@@ -103,3 +103,91 @@ class TestEngineIntegration:
         eng.create_index("t", "i", IndexConfig(dim=4, algorithm="FLAT"))
         eng.add_batch("t", "i", ["a", "b", "c", "d"], vecs)
         assert eng.search("t", "i", vecs[1], 1).hits[0].id == "b"
+
+
+class _SlowIndex:
+    """Fake index with a fixed per-batch service time — models a busy
+    device (or a high-RTT link) for the in-flight gate tests."""
+
+    def __init__(self, inner, delay_s: float):
+        self.inner = inner
+        self.delay_s = delay_s
+        self.batch_sizes: list = []
+
+    def search_batch(self, batch, top_k, options):
+        import time
+
+        self.batch_sizes.append(len(batch))
+        time.sleep(self.delay_s)
+        return self.inner.search_batch(batch, top_k, options)
+
+
+class TestInflightGate:
+    def test_groups_grow_while_device_busy(self):
+        """With the gate, arrivals during an in-flight batch join the OPEN
+        group instead of dispatching their own: 32 staggered requests
+        against a 30 ms service time must coalesce into a few batches, not
+        ~32 near-singleton dispatches (the pre-gate behavior: the 0.5 ms
+        wait window closes groups long before the device frees up)."""
+        import time
+
+        idx, vecs = make_index(n=64, dim=8)
+        slow = _SlowIndex(idx, delay_s=0.03)
+        b = MicroBatcher(max_batch=64, max_wait_ms=0.5, max_inflight=1)
+        results = [None] * 32
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = b.search(slow, vecs[i % 64], 3)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(32)]
+        for t in threads:
+            t.start()
+            time.sleep(0.002)  # staggered arrivals, all within ~3 batches
+        for t in threads:
+            t.join()
+        assert not errs
+        assert all(r is not None for r in results)
+        # every query correct despite riding shared batches
+        for i, r in enumerate(results):
+            assert r[0].id == f"v{i % 64}"
+        # the gate is what keeps this small: 32 arrivals over ~64 ms of
+        # device busy time -> a handful of batches (ungated: ~one per
+        # arrival after the first)
+        assert b.stats.batches <= 8, slow.batch_sizes
+        assert b.stats.max_batch_seen >= 8, slow.batch_sizes
+
+    def test_ungated_matches_old_behavior(self):
+        idx, vecs = make_index(n=64, dim=8)
+        b = MicroBatcher(max_batch=8, max_wait_ms=1, max_inflight=0)
+        hits = b.search(idx, vecs[3], 3)
+        assert hits[0].id == "v3"
+
+    def test_full_group_closes_under_gate(self):
+        """max_batch fill while the gate is held must still close/dispatch
+        exactly once and keep slots consistent."""
+        idx, vecs = make_index(n=64, dim=8)
+        slow = _SlowIndex(idx, delay_s=0.02)
+        b = MicroBatcher(max_batch=4, max_wait_ms=50, max_inflight=1)
+        results = [None] * 12
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = b.search(slow, vecs[i], 3)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs
+        for i, r in enumerate(results):
+            assert r[0].id == f"v{i}"
+        # groups cap at max_batch even while the gate backs them up
+        assert max(slow.batch_sizes) <= 4
