@@ -428,7 +428,7 @@ class FlatIndex(VectorIndex):
         if bb != b:
             q = np.pad(q, ((0, bb - b), (0, 0)))
         vals, rows = self._search_device(jnp.asarray(q), top_k, options.max_scans)
-        return self._to_results(np.asarray(vals[:b]), np.asarray(rows[:b]))
+        return self._to_results(np.asarray(vals)[:b], np.asarray(rows)[:b])
 
     def _to_results(self, vals: np.ndarray, rows: np.ndarray) -> list[list[SearchResult]]:
         out: list[list[SearchResult]] = []

@@ -670,8 +670,8 @@ class HnswIndex(VectorIndex):
             dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
             device_i32(self._entry), jnp.asarray(qp),
         )
-        vals = np.asarray(vals[:b])
-        rows = np.asarray(rows[:b])
+        vals = np.asarray(vals)[:b]
+        rows = np.asarray(rows)[:b]
         out: list[list[SearchResult]] = []
         for bi in range(b):
             hits = []

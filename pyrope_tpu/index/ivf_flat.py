@@ -752,8 +752,8 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         bb = batch_bucket(b)
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
         vals, rows = self._run_scan(dev, jnp.asarray(qp), top_k, nprobe, ms)
-        vals = np.asarray(vals[:b])
-        rows = np.asarray(rows[:b])
+        vals = np.asarray(vals)[:b]
+        rows = np.asarray(rows)[:b]
 
         perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []

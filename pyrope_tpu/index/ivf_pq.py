@@ -804,8 +804,8 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         bb = batch_bucket(b)
         qp = np.pad(qq, ((0, bb - b), (0, 0))) if bb != b else qq
         vals, rows = self._run_device(dev, jnp.asarray(qp), top_k, nprobe, ms)
-        vals = np.asarray(vals[:b])
-        rows = np.asarray(rows[:b])
+        vals = np.asarray(vals)[:b]
+        rows = np.asarray(rows)[:b]
 
         perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []

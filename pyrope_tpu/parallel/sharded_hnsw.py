@@ -148,8 +148,8 @@ class ShardedHnswIndex(HnswIndex):
         bb = round_up(b, self._ndev)
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
         vals, rows = self.device_search(jnp.asarray(qp), top_k, options)
-        vals = np.asarray(vals[:b])
-        rows = np.asarray(rows[:b])
+        vals = np.asarray(vals)[:b]
+        rows = np.asarray(rows)[:b]
         out: list[list[SearchResult]] = []
         for bi in range(b):
             hits = []

@@ -530,8 +530,8 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         qp = np.pad(q, ((0, bb - b), (0, 0))) if bb != b else q
         dev = self._sync()
         vals, rows = self._device_scan(jnp.asarray(qp), top_k, options)
-        vals = np.asarray(vals[:b])
-        enc = np.asarray(rows[:b])
+        vals = np.asarray(vals)[:b]
+        enc = np.asarray(rows)[:b]
         rows = np.where(enc >= 0, dev["enc_to_perm"][np.maximum(enc, 0)], -1)
         perm_ids = dev["perm_ids"]
         out: list[list[SearchResult]] = []
