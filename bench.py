@@ -391,8 +391,9 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
         if key not in _ORACLE_CACHE:
             _ORACLE_CACHE[key] = ro.ref_ivfpq_build(base, 100, 4, 256)
         cents, lists, cbs, codes = _ORACLE_CACHE[key]
+        np_eff = kwargs.get("nprobe", 3)  # SearchOptions pass-through rows
         rows = np.stack([
-            ro.ref_ivfpq_search(cents, lists, cbs, codes, q, 3, topk)
+            ro.ref_ivfpq_search(cents, lists, cbs, codes, q, np_eff, topk)
             for q in gt_q
         ])
     else:

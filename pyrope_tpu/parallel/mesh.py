@@ -32,3 +32,17 @@ def make_mesh_2d(batch: int, data: int) -> Mesh:
 
 def default_mesh() -> Mesh:
     return make_mesh()
+
+
+def allgather_merge_topk(vals, gidx, k: int, axis: str = DATA_AXIS):
+    """The sharded-scan merge tail, shared by every shard_map'd search
+    maker: all-gather the [B, k] per-shard candidate lists over ``axis``
+    (tiny ICI payload) and reduce to the final top-k on every shard.
+    Missing hits follow the masked_topk convention (-inf score, id -1)."""
+    import jax.numpy as jnp
+
+    vals_all = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+    gidx_all = jax.lax.all_gather(gidx, axis, axis=1, tiled=True)
+    mvals, pos = jax.lax.top_k(vals_all, k)
+    mids = jnp.take_along_axis(gidx_all, pos, axis=1)
+    return mvals, jnp.where(jnp.isfinite(mvals), mids, -1)

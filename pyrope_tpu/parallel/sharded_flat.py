@@ -23,7 +23,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pyrope_tpu.index.flat import FlatIndex, _STORAGE_DTYPES, sq8_quantize, sq8_scores
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.topk import masked_topk
-from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    DATA_AXIS,
+    allgather_merge_topk,
+    default_mesh,
+)
 from pyrope_tpu.types import Metric
 from pyrope_tpu.utils.shapes import round_up
 
@@ -48,12 +53,7 @@ def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None)
         vals, idx = masked_topk(scores, mask[None, :], k)
         gidx = jnp.where(idx >= 0, idx + base, -1)
         # ICI all-gather of the tiny [B, k] candidate sets, merge everywhere
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (
@@ -96,12 +96,7 @@ def make_sharded_pallas_search(mesh: Mesh, metric: Metric, k: int,
             row_tile=row_tile, batch_tile=bt,
         )
         gidx = jnp.where(idx >= 0, idx + base, -1)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (
@@ -135,12 +130,7 @@ def make_sharded_sq8_search(mesh: Mesh, metric: Metric, k: int, compute: str | N
         mask = alive & (grow < ms)
         vals, idx = masked_topk(scores, mask[None, :], k)
         gidx = jnp.where(idx >= 0, idx + base, -1)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (

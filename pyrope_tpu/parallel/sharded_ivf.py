@@ -37,7 +37,12 @@ from pyrope_tpu.index.ivf_flat import (
 )
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.scalars import device_i32
-from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    DATA_AXIS,
+    allgather_merge_topk,
+    default_mesh,
+)
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
     Metric,
@@ -86,6 +91,39 @@ def roundrobin_layout(lens: np.ndarray, offsets: np.ndarray, nd: int, kpad: int)
     return local_lens, local_offsets, l_pad, cap_local, placements
 
 
+def shard_tile_windows(crow_l: np.ndarray, local_lens: np.ndarray,
+                       cap_local: int, kpad: int):
+    """Per-shard fused-Pallas windowed-kernel eligibility (shared by the
+    sharded IVF-Flat and IVF-PQ _sync): every local slab is cluster-major
+    (cursor construction in roundrobin_layout), so the windowed kernel's
+    per-tile cluster-band tables apply shard-locally — but win_ok must hold
+    on EVERY shard (the shard_map'd kernel is one program). Returns
+    (tile_clo [nd, n_tiles], win_ok, row_tile). Narrow tables
+    (kpad <= PALLAS_IVF_MAX_KPAD) are trivially ok with a zero table."""
+    from pyrope_tpu.ops.pallas_scan import (
+        PALLAS_IVF_MAX_KPAD,
+        padded_probe_width,
+        tile_cluster_windows,
+    )
+
+    nd = crow_l.shape[0]
+    row_tile = min(4096, cap_local)
+    n_tiles = max(cap_local // row_tile, 1)
+    tile_clo = np.zeros((nd, n_tiles), np.int32)
+    if kpad <= PALLAS_IVF_MAX_KPAD:
+        return tile_clo, True, row_tile
+    kp_probe = padded_probe_width(kpad)
+    for s in range(nd):
+        tot = int(local_lens[s].sum())
+        clo_s, ok_s = tile_cluster_windows(
+            crow_l[s], tot, cap_local, row_tile, kp_probe
+        )
+        if not ok_s:
+            return tile_clo, False, row_tile
+        tile_clo[s] = clo_s
+    return tile_clo, True, row_tile
+
+
 def make_sharded_ivf_search(
     mesh: Mesh, metric: Metric, k: int, nprobe: int, l_pad: int,
     stride: int, compute: str | None,
@@ -115,12 +153,7 @@ def make_sharded_ivf_search(
             row_base=shard * stride,
         )
 
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
@@ -166,12 +199,7 @@ def make_sharded_ivf_dense_search(
         # masked_topk pads when k exceeds the shard's slab rows
         vals, lrows = masked_topk(jnp.where(mask, scores, -jnp.inf), None, k)
         gidx = jnp.where(lrows >= 0, shard * stride + lrows, -1)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos_k = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
@@ -236,12 +264,7 @@ def make_sharded_ivf_dense_pallas_search(
                 row_tile=row_tile, batch_tile=bt,
             )
         gidx = jnp.where(lrows >= 0, shard * stride + lrows, -1)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos_k = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
@@ -340,32 +363,9 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             cents[:k] = self._centroids
             cvalid[:k] = True
 
-        # per-shard fused-Pallas dense eligibility: every local slab is
-        # cluster-major (cursor construction above), so the windowed kernel
-        # applies shard-locally for wide cluster tables; win_ok must hold on
-        # EVERY shard (the shard_map'd kernel is one program)
-        from pyrope_tpu.ops.pallas_scan import (
-            PALLAS_IVF_MAX_KPAD,
-            padded_probe_width,
-            tile_cluster_windows,
+        tile_clo, win_ok, row_tile = shard_tile_windows(
+            crow_l, local_lens, cap_local, kpad
         )
-
-        row_tile = min(4096, cap_local)
-        win_ok = kpad <= PALLAS_IVF_MAX_KPAD
-        n_tiles = max(cap_local // row_tile, 1)
-        tile_clo = np.zeros((nd, n_tiles), np.int32)
-        if kpad > PALLAS_IVF_MAX_KPAD:
-            win_ok = True
-            kp_probe = padded_probe_width(kpad)
-            for s in range(nd):
-                tot = int(local_lens[s].sum())
-                clo_s, ok_s = tile_cluster_windows(
-                    crow_l[s], tot, cap_local, row_tile, kp_probe
-                )
-                if not ok_s:
-                    win_ok = False
-                    break
-                tile_clo[s] = clo_s
 
         row3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
         row2 = NamedSharding(self.mesh, P(DATA_AXIS, None))

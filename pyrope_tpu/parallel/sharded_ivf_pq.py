@@ -29,7 +29,12 @@ from pyrope_tpu.index.ivf_pq import (
     compute_cdot,
 )
 from pyrope_tpu.ops.scalars import device_i32
-from pyrope_tpu.parallel.mesh import BATCH_AXIS, DATA_AXIS, default_mesh
+from pyrope_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    DATA_AXIS,
+    allgather_merge_topk,
+    default_mesh,
+)
 from pyrope_tpu.parallel.sharded_ivf import roundrobin_layout
 from pyrope_tpu.types import (
     DEFAULT_SEARCH_OPTIONS,
@@ -72,12 +77,7 @@ def make_sharded_ivfpq_search(
                 codes, alive, q, cents, codebooks, probe, offs_p, eff,
                 k=k, l_pad=l_pad, metric=metric, row_base=shard * stride,
             )
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     # 2-D batch x data mesh: queries shard over BATCH_AXIS like the flat/
     # IVF siblings (each batch group scans the full data axis independently)
@@ -166,12 +166,7 @@ def make_sharded_ivfpq_dense_search(
                 probe, eff, k=k, metric=metric,
             )
             gidx = jnp.where(lid >= 0, shard * stride + lid, -1)
-        vals_all = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
-        gidx_all = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
-        mvals, pos_k = jax.lax.top_k(vals_all, k)
-        mids = jnp.take_along_axis(gidx_all, pos_k, axis=1)
-        mids = jnp.where(jnp.isfinite(mvals), mids, -1)
-        return mvals, mids
+        return allgather_merge_topk(vals, gidx, k)
 
     two_d = BATCH_AXIS in mesh.axis_names
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
@@ -285,30 +280,11 @@ class ShardedIvfPqIndex(IvfPqIndex):
             enc_to_perm[s * stride + c : s * stride + c + n_rows] = rows
 
         # per-shard fused-Pallas eligibility for the refine>0 exact scan
-        # (same mechanism as parallel/sharded_ivf.py: local slabs are
-        # cluster-major, windows must fit on EVERY shard)
-        from pyrope_tpu.ops.pallas_scan import (
-            PALLAS_IVF_MAX_KPAD,
-            padded_probe_width,
-            tile_cluster_windows,
-        )
+        from pyrope_tpu.parallel.sharded_ivf import shard_tile_windows
 
-        row_tile = min(4096, cap_local)
-        win_ok = kpad <= PALLAS_IVF_MAX_KPAD
-        n_tiles = max(cap_local // row_tile, 1)
-        tile_clo = np.zeros((nd, n_tiles), np.int32)
-        if kpad > PALLAS_IVF_MAX_KPAD:
-            win_ok = True
-            kp_probe = padded_probe_width(kpad)
-            for s in range(nd):
-                tot = int(local_lens[s].sum())
-                clo_s, ok_s = tile_cluster_windows(
-                    crow_l[s], tot, cap_local, row_tile, kp_probe
-                )
-                if not ok_s:
-                    win_ok = False
-                    break
-                tile_clo[s] = clo_s
+        tile_clo, win_ok, row_tile = shard_tile_windows(
+            crow_l, local_lens, cap_local, kpad
+        )
 
         cents = np.zeros((kpad, self.dim), np.float32)
         cvalid = np.zeros(kpad, bool)
@@ -430,16 +406,31 @@ class ShardedIvfPqIndex(IvfPqIndex):
         """(mode, pallas_path) on per-shard local volumes. pallas_path is
         '' (XLA/ADC kernels), 'dense-exact-pallas', or
         'dense-exact-pallas-win' — the fused kernels are full-scan only, so
-        a max_scans budget keeps the XLA dense kernel."""
-        from pyrope_tpu.index.ivf_flat import pallas_dense_ok
+        a max_scans budget keeps the XLA dense kernel.
+
+        With ``refine > 0`` auto mode resolves by LOCAL index size only —
+        never by batch — matching the single-chip batch-invariance contract
+        (IvfPqIndex._resolve_scan: dense and probe return different hit
+        sets when reranking, so the same index + query must not flip modes
+        across batch sizes; only the OOM guard may demote)."""
+        from pyrope_tpu.index.ivf_flat import (
+            DENSE_MAX_ELEMS,
+            DENSE_MAX_ROWS,
+            pallas_dense_ok,
+        )
         from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
 
         p_ok = refine_r > 0 and uncapped and pallas_dense_ok(
             "auto", search_metric, None, dev["stride"], dev["kpad"],
             batch, dev["stride"], dev["stride"], win_ok=dev["win_ok"],
         )
-        mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
-                              dev["l_pad"], batch=batch, pallas_ok=p_ok)
+        if self.scan_mode == "auto" and self.refine > 0:
+            mode = "dense" if dev["stride"] <= DENSE_MAX_ROWS else "probe"
+            if not p_ok and batch * dev["stride"] > DENSE_MAX_ELEMS:
+                mode = "probe"  # OOM guard outranks batch-invariance
+        else:
+            mode = pick_scan_mode(self.scan_mode, dev["stride"], nprobe,
+                                  dev["l_pad"], batch=batch, pallas_ok=p_ok)
         if mode != "dense" or not p_ok:
             return mode, ""
         return mode, ("dense-exact-pallas-win"

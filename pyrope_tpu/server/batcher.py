@@ -73,6 +73,10 @@ class MicroBatcher:
         self._gate = (
             threading.BoundedSemaphore(max_inflight) if max_inflight else None
         )
+        # a wedged device batch must not stall the whole serving plane: a
+        # leader that cannot get a slot within this window dispatches
+        # ungated (pre-gate behavior — only the wedged batch's riders hang)
+        self.gate_timeout_s = 5.0
         self.stats = BatcherStats()
 
     @staticmethod
@@ -116,9 +120,12 @@ class MicroBatcher:
             # acquire a device slot BEFORE closing: while earlier batches
             # hold the gate, this group stays open and keeps absorbing
             # arrivals (it may fill and close via the max_batch path, which
-            # is fine — the queries list only ever grows until closed)
-            if self._gate is not None:
-                self._gate.acquire()
+            # is fine — the queries list only ever grows until closed).
+            # Bounded wait: on timeout (slots wedged) dispatch ungated.
+            holds_slot = (
+                self._gate.acquire(timeout=self.gate_timeout_s)
+                if self._gate is not None else False
+            )
             try:
                 with self._lock:
                     if not group.closed:
@@ -136,7 +143,7 @@ class MicroBatcher:
             except BaseException as e:  # propagate to every rider
                 group.error = e
             finally:
-                if self._gate is not None:
+                if holds_slot:
                     self._gate.release()
                 group.done.set()
         else:

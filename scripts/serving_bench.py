@@ -169,12 +169,24 @@ def main() -> None:
         if "search" in args.cells:
             for conc in args.concurrency:
                 app.engine.flush_cache()
+                mb0 = app.engine.batcher.to_dict() if app.engine.batcher else {}
                 cell = run_cell(app, port, queries, conc, args.duration,
                                 index=name)
                 cell["cell"] = "search"
                 cell["nprobe"] = nprobe
-                mb = app.engine.batcher.to_dict() if app.engine.batcher else {}
-                cell["microbatch"] = mb
+                # PER-CELL microbatch stats (to_dict is cumulative since
+                # process start; max_batch_seen stays cumulative — an upper
+                # bound for this cell)
+                if app.engine.batcher:
+                    mb1 = app.engine.batcher.to_dict()
+                    cell["microbatch"] = {
+                        "batches": mb1["batches"] - mb0.get("batches", 0),
+                        "queries": mb1["queries"] - mb0.get("queries", 0),
+                        "max_batch_seen_cum": mb1["max_batch_seen"],
+                    }
+                    bt = cell["microbatch"]["batches"]
+                    cell["microbatch"]["avg_batch"] = round(
+                        cell["microbatch"]["queries"] / bt, 2) if bt else 0.0
                 out["cells"].append(cell)
                 print(json.dumps(cell), file=sys.stderr)
 

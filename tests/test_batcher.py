@@ -156,9 +156,10 @@ class TestInflightGate:
             assert r[0].id == f"v{i % 64}"
         # the gate is what keeps this small: 32 arrivals over ~64 ms of
         # device busy time -> a handful of batches (ungated: ~one per
-        # arrival after the first)
-        assert b.stats.batches <= 8, slow.batch_sizes
-        assert b.stats.max_batch_seen >= 8, slow.batch_sizes
+        # arrival after the first). Bound is loose (16 vs the ungated ~32)
+        # because the single-core CI host can stretch the 2 ms stagger.
+        assert b.stats.batches <= 16, slow.batch_sizes
+        assert b.stats.max_batch_seen >= 4, slow.batch_sizes
 
     def test_ungated_matches_old_behavior(self):
         idx, vecs = make_index(n=64, dim=8)
