@@ -77,10 +77,25 @@ def beam_schedule(ef: int, top_k: int) -> tuple[int, int]:
 def beam_search_body(
     x, sqnorm, adj0, adj_up, alive, entry, q,
     *, metric: Metric, k: int, pool: int, steps: int, n_upper: int,
+    visited_mode: str = "pool",
 ):
     """Batched beam search body (greedy upper descent + layer-0 beam).
     Module-level so the sharded query-parallel wrapper
-    (pyrope_tpu/parallel/sharded_hnsw.py) can shard_map the same program."""
+    (pyrope_tpu/parallel/sharded_hnsw.py) can shard_map the same program.
+
+    ``visited_mode``:
+      'pool' (default) — candidate dedup by membership in the CURRENT pool.
+        Exactly equivalent to the bitmap (tested id-for-id): a node evicted
+        from the pool scored <= the kth bound at eviction, the bound is
+        monotone, and ties keep the incumbent (pool entries precede
+        candidates in the top_k concat) — so re-scored nodes can never
+        re-enter, and re-scoring a never-admitted node just re-drops it.
+        Cost: a [B, C, pool] compare per step — no [B, N] visited carry
+        and, critically, no per-step SCATTER (the TPU scatter lowering is
+        the classic cliff; the bitmap variant also allocates B x N bytes,
+        1 GB at 1M x b1024).
+      'bitmap' — the original [B, N] visited array (scatter+gather).
+    """
     def fn(x, sqnorm, adj0, adj_up, alive, entry, q):
         b, d = q.shape
         qf = q.astype(jnp.float32)
@@ -147,16 +162,21 @@ def beam_search_body(
         pool_ids = jnp.full((b, pool), -1, jnp.int32)
         pool_s = jnp.full((b, pool), -jnp.inf, jnp.float32)
         expanded = jnp.zeros((b, pool), bool)
-        visited = jnp.zeros((b, n_nodes), bool)
+        use_bitmap = visited_mode == "bitmap"
+        visited = (
+            jnp.zeros((b, n_nodes), bool) if use_bitmap
+            else jnp.zeros((b, 1), bool)  # unused placeholder carry
+        )
 
         # seed with the whole descent frontier (distinct by construction)
         pool_ids = pool_ids.at[:, :t_beam].set(
             jnp.where(jnp.isfinite(fr_s), fr, -1)
         )
         pool_s = pool_s.at[:, :t_beam].set(fr_s)
-        visited = jax.vmap(lambda v, i, ok: v.at[i].max(ok))(
-            visited, jnp.maximum(fr, 0), jnp.isfinite(fr_s)
-        )
+        if use_bitmap:
+            visited = jax.vmap(lambda v, i, ok: v.at[i].max(ok))(
+                visited, jnp.maximum(fr, 0), jnp.isfinite(fr_s)
+            )
 
         iota_pool = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pool), 2)
 
@@ -174,18 +194,24 @@ def beam_search_body(
             nbrs = jnp.take(adj0, jnp.maximum(eids, 0), axis=0)     # [B, E, deg]
             nbrs = jnp.where(valid_e[:, :, None], nbrs, -1).reshape(b, c)
 
-            safe = jnp.maximum(nbrs, 0)
-            pre_seen = jnp.take_along_axis(visited, safe, axis=1)
             # within-step duplicate suppression: keep first occurrence only
             eq = nbrs[:, :, None] == nbrs[:, None, :]               # [B, C, C]
             tri = jnp.tril(jnp.ones((c, c), bool), k=-1)
             dup = jnp.any(eq & tri[None], axis=2)
             invalid = nbrs < 0
+            if use_bitmap:
+                safe = jnp.maximum(nbrs, 0)
+                pre_seen = jnp.take_along_axis(visited, safe, axis=1)
+                visited = jax.vmap(lambda v, idx, ok: v.at[idx].max(ok))(
+                    visited, safe, ~invalid
+                )
+            else:
+                # in-pool membership replaces the bitmap (see docstring):
+                # one [B, C, pool] compare, no scatter, no [B, N] carry
+                pre_seen = jnp.any(
+                    nbrs[:, :, None] == pool_ids[:, None, :], axis=2
+                )
             drop = pre_seen | dup | invalid
-
-            visited = jax.vmap(lambda v, idx, ok: v.at[idx].max(ok))(
-                visited, safe, ~invalid
-            )
 
             s = node_scores(nbrs)
             s = jnp.where(drop, -jnp.inf, s)
@@ -217,11 +243,12 @@ def beam_search_body(
 
 
 @functools.lru_cache(maxsize=None)
-def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int, n_upper: int):
+def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int,
+                    n_upper: int, visited_mode: str = "pool"):
     """Jitted batched beam search at layer 0 (+ greedy upper descent)."""
     return jax.jit(functools.partial(
         beam_search_body, metric=metric, k=k, pool=pool, steps=steps,
-        n_upper=n_upper,
+        n_upper=n_upper, visited_mode=visited_mode,
     ))
 
 
@@ -237,6 +264,7 @@ class HnswIndex(VectorIndex):
         seed: int = 42,
         neighbor_heuristic: bool = True,
         build_mode: str = "auto",
+        visited_mode: str = "pool",
     ):
         """``neighbor_heuristic``: diversity-heuristic neighbor selection
         (HNSW paper Alg. 4) instead of the reference's closest-M
@@ -257,6 +285,10 @@ class HnswIndex(VectorIndex):
             raise ValueError(
                 f"build_mode must be auto|incremental|bootstrap, got {build_mode!r}"
             )
+        if visited_mode not in ("pool", "bitmap"):
+            raise ValueError(
+                f"visited_mode must be pool|bitmap, got {visited_mode!r}"
+            )
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.m = int(m)
@@ -264,6 +296,7 @@ class HnswIndex(VectorIndex):
         self.ef_search = int(ef_search)  # mutable, ref :30-40
         self.neighbor_heuristic = bool(neighbor_heuristic)
         self.build_mode = build_mode
+        self.visited_mode = visited_mode
         self._ml = 1.0 / math.log(self.m)  # λ = 1/ln(m), ref :351-357
         self._rng = np.random.default_rng(seed)
 
@@ -626,7 +659,8 @@ class HnswIndex(VectorIndex):
         search_metric = (
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
-        fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
+        fn = _hnsw_search_fn(search_metric, top_k, pool, steps,
+                             dev["n_upper"], self.visited_mode)
         return fn(
             dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
             device_i32(self._entry), q,
@@ -665,7 +699,8 @@ class HnswIndex(VectorIndex):
         search_metric = (
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
-        fn = _hnsw_search_fn(search_metric, top_k, pool, steps, dev["n_upper"])
+        fn = _hnsw_search_fn(search_metric, top_k, pool, steps,
+                             dev["n_upper"], self.visited_mode)
         vals, rows = fn(
             dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
             device_i32(self._entry), jnp.asarray(qp),

@@ -202,3 +202,37 @@ def test_fill_tail_slots_no_collision():
     row2 = np.array([-1, 20, -1, 21], np.int32)
     _fill_tail_slots(row2, [7])
     assert list(row2) == [7, 20, -1, 21]
+
+
+def test_visited_pool_matches_bitmap_exactly():
+    """The in-pool dedup must return the SAME ids in the SAME order as the
+    [B, N] visited bitmap on tie-free data (the equivalence argument in
+    beam_search_body: an evicted/rejected node's score can never re-beat
+    the monotone kth bound, and pool incumbents win exact ties)."""
+    import numpy as np
+
+    from pyrope_tpu.types import SearchOptions
+    from pyrope_tpu.utils.datasets import (
+        synthetic,
+        synthetic_clustered,
+        synthetic_clustered_queries,
+        synthetic_queries,
+    )
+
+    for data, qs in (
+        (synthetic(5000, 24), synthetic_queries(64, 24)),
+        (synthetic_clustered(5000, 24), synthetic_clustered_queries(64, 24)),
+    ):
+        ids = [str(i) for i in range(len(data))]
+        a = HnswIndex(24, "L2", m=8, ef_construction=100, visited_mode="pool")
+        b = HnswIndex(24, "L2", m=8, ef_construction=100,
+                      visited_mode="bitmap")
+        a.add_batch(ids, data)
+        b.add_batch(ids, data)
+        for ef in (10, 50, 120):
+            ra = a.search_batch(qs, 10, SearchOptions(ef_search=ef))
+            rb = b.search_batch(qs, 10, SearchOptions(ef_search=ef))
+            for i in range(len(qs)):
+                assert [h.id for h in ra[i]] == [h.id for h in rb[i]], (ef, i)
+                assert np.allclose([h.score for h in ra[i]],
+                                   [h.score for h in rb[i]])
