@@ -365,6 +365,18 @@ def oracle_recall(algo, kwargs, base, gt_q, truth, topk, idx,
                                 kwargs.get("nprobe", 3), topk)
             for q in gt_q
         ])
+    elif algo == "FLAT_SQ8":
+        # reference SQ8 scores raw bytes (query quantized on its own
+        # min/max, both affine transforms dropped — BruteForceVectorIndex
+        # .cs:297-331); the rebuild's exact affine decomposition scores the
+        # true quantized values, so this column shows the semantic gap
+        key = _oracle_key(base, "sq8")
+        if key not in _ORACLE_CACHE:
+            _ORACLE_CACHE[key] = ro.ref_sq8_build(base)
+        codes, code_sq = _ORACLE_CACHE[key]
+        rows = np.stack([
+            ro.ref_sq8_search(codes, code_sq, q, topk) for q in gt_q
+        ])
     elif algo == "HNSW":
         rows = np.stack([
             ro.ref_hnsw_search(idx, q, kwargs.get("ef_search", 10), topk)

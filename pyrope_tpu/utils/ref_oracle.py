@@ -171,6 +171,46 @@ def ref_ivfpq_search(
     return out
 
 
+# ---- SQ8 brute force ---------------------------------------------------
+
+def ref_sq8_quantize(x: np.ndarray) -> np.ndarray:
+    """Per-vector min/max byte quantization (ref: ScalarQuantizer.cs:22-62;
+    zero-range vectors quantize to all-zero codes). ``np.rint`` rounds
+    half-to-even, matching C# ``Math.Round``'s default."""
+    x = np.asarray(x, np.float32)
+    mins = x.min(axis=-1, keepdims=True)
+    rng = x.max(axis=-1, keepdims=True) - mins
+    scale = np.divide(
+        np.float32(255.0), rng, out=np.zeros_like(rng), where=rng > 0
+    )
+    return np.clip(np.rint((x - mins) * scale), 0, 255).astype(np.uint8)
+
+
+def ref_sq8_build(data: np.ndarray):
+    """Quantized slab (as f32 for the blocked matmul) + squared code norms."""
+    codes = ref_sq8_quantize(data).astype(np.float32)
+    return codes, np.einsum("nd,nd->n", codes, codes)
+
+
+def ref_sq8_search(
+    codes: np.ndarray, code_sq: np.ndarray, q: np.ndarray, topk: int,
+    metric: str = "L2",
+) -> np.ndarray:
+    """Quantized brute-force scan. The reference quantizes the query on its
+    OWN min/max and scores RAW BYTES — both affine transforms (per-vector
+    min and scale) are discarded at score time, so its SQ8 recall collapses
+    when vector scales vary (ref: BruteForceVectorIndex.cs:297-331 —
+    L2Squared8Bit/DotProduct8Bit over the byte spans). The rebuild instead
+    decomposes dot(q, x_hat) = min*sum(q) + scale*dot(q, code)
+    (index/flat.py sq8_scores), which is why its recall does not."""
+    qb = ref_sq8_quantize(q[None])[0].astype(np.float32)
+    if metric == "L2":
+        scores = -(code_sq - 2.0 * (codes @ qb) + (qb * qb).sum())
+    else:  # InnerProduct and Cosine both score the raw byte dot (ref :327-329)
+        scores = codes @ qb
+    return np.argsort(-scores, kind="stable")[:topk]
+
+
 # ---- HNSW ------------------------------------------------------------------
 
 def ref_hnsw_search(index, q: np.ndarray, ef: int, topk: int) -> np.ndarray:

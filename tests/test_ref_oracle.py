@@ -121,3 +121,43 @@ class TestHnswParity:
         # the batched device beam must match the sequential reference search
         # on the identical graph at equal ef (VERDICT r1 #4)
         assert r_tpu >= r_ref - 0.02, (r_tpu, r_ref)
+
+
+class TestSq8Parity:
+    def test_quantize_matches_reference_semantics(self):
+        # direct per-element transcription of ScalarQuantizer.Quantize
+        # (ref: ScalarQuantizer.cs:22-62) vs the vectorized oracle
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((50, 16)).astype(np.float32)
+        x[3] = 2.5  # zero-range vector -> all-zero codes
+        got = ro.ref_sq8_quantize(x)
+        for i, v in enumerate(x):
+            mn, mx = float(v.min()), float(v.max())
+            if mx - mn == 0:
+                expect = np.zeros(v.size, np.uint8)
+            else:
+                scale = 255.0 / (mx - mn)
+                expect = np.clip(
+                    np.rint((v - mn) * scale), 0, 255
+                ).astype(np.uint8)
+            np.testing.assert_array_equal(got[i], expect)
+
+    def test_rebuild_affine_sq8_beats_reference_byte_scan(self):
+        # per-vector scale variation is exactly what the reference's
+        # raw-byte scoring drops (BruteForceVectorIndex.cs:297-331); the
+        # rebuild's affine decomposition keeps it
+        base, queries, truth = _setup()
+        rng = np.random.default_rng(11)
+        base = (base * rng.uniform(0.2, 5.0, (N, 1))).astype(np.float32)
+        truth = ground_truth(base, queries, K, "L2")
+
+        codes, code_sq = ro.ref_sq8_build(base)
+        ref_rows = np.stack([
+            ro.ref_sq8_search(codes, code_sq, q, K) for q in queries
+        ])
+        r_ref = recall_at_k(ref_rows, truth, K)
+
+        idx = pt.FlatIndex(DIM, "L2", storage="sq8")
+        r_tpu = _tpu_recall(idx, base, queries, truth, SearchOptions())
+        assert r_tpu >= r_ref, (r_tpu, r_ref)
+        assert r_tpu >= 0.9, r_tpu  # affine SQ8 stays near-exact
