@@ -50,7 +50,7 @@ def backfill(name: str, topk: int = 10, n_queries: int = 1024) -> dict:
     kwargs = dict(kwargs)
     batch = kwargs.pop("batch", 64)  # bench.py default --batch
     opt_kwargs = kwargs.pop("opts", {})
-    if algo not in ("IVF_FLAT", "IVF_PQ", "DELTA"):
+    if algo not in ("IVF_FLAT", "IVF_PQ", "DELTA", "FLAT_SQ8"):
         raise SystemExit(f"{name}: algo {algo} needs the built index; "
                          "run its oracle inside bench.py instead")
     if name in bench.CLUSTERED:
