@@ -107,6 +107,22 @@ class PyropeApp:
     async def start(self) -> None:
         from pyrope_tpu.security.pem import server_context_from_env
 
+        # asyncio.to_thread rides the loop's DEFAULT executor, whose size is
+        # min(32, cpu+4) — 5 threads on a 1-core host. Those threads spend
+        # their time blocked on a device round trip (the GIL is released in
+        # the fetch), so the cap silently limits concurrent engine calls and
+        # with them the micro-batcher's group size (max_batch_seen pins at
+        # the pool size, not at client concurrency). Size the pool to the
+        # serving concurrency we coalesce for, not to the CPU count.
+        import concurrent.futures
+
+        asyncio.get_running_loop().set_default_executor(
+            concurrent.futures.ThreadPoolExecutor(
+                max_workers=int(os.environ.get("PYROPE_SERVE_THREADS", "128")),
+                thread_name_prefix="pyrope-serve",
+            )
+        )
+
         ssl_ctx = server_context_from_env()  # PYROPE_TLS_{CERT,KEY,CA}
         await self.resp.start()
         self._http_runner = web.AppRunner(self.http_api.build_app())

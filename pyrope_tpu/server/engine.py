@@ -123,6 +123,9 @@ class EngineConfig:
     # absorbing arrivals while the gate is held, so coalescing tracks device
     # pressure instead of the fixed wait window. 0 = ungated.
     microbatch_inflight: int = 2
+    # post-acquire hold (ms) that merges closed-loop cohorts on high-RTT
+    # links (see MicroBatcher.linger_ms); 0 = off, right for co-located
+    microbatch_linger_ms: float = 0.0
     # index-config persistence (ref: Services/IndexMetadataManager.cs);
     # definitions are restored on engine construction
     index_meta_path: Optional[str] = None
@@ -166,7 +169,8 @@ class PyropeEngine:
         self.batcher = (
             MicroBatcher(self.config.microbatch_max,
                          self.config.microbatch_wait_ms,
-                         max_inflight=self.config.microbatch_inflight)
+                         max_inflight=self.config.microbatch_inflight,
+                         linger_ms=self.config.microbatch_linger_ms)
             if self.config.microbatch_max > 0
             else None
         )

@@ -115,6 +115,16 @@ def main() -> None:
                     default=["search", "upsert", "cache_hit"],
                     choices=["search", "upsert", "cache_hit"])
     ap.add_argument("--writers", type=int, default=4)
+    ap.add_argument("--inflight", type=int, default=None,
+                    help="override MicroBatcher max_inflight (A/B: on a "
+                         "GIL-bound 1-core host, 1 maximizes coalescing; "
+                         "2 overlaps the tunnel round trip)")
+    ap.add_argument("--linger-ms", type=float, default=None,
+                    help="post-acquire hold that merges closed-loop "
+                         "cohorts (see MicroBatcher.linger_ms)")
+    ap.add_argument("--max-batch", type=int, default=None,
+                    help="override MicroBatcher max_batch (pair with "
+                         "concurrency >= max_batch; buckets are warmed)")
     args = ap.parse_args()
 
     enable_compilation_cache()
@@ -125,6 +135,19 @@ def main() -> None:
     app.engine.policy.store.update(
         CachePolicyConfig(enable_cache=False, default_ttl_seconds=60)
     )
+    if ((args.inflight is not None or args.linger_ms is not None
+         or args.max_batch is not None) and app.engine.batcher is not None):
+        from pyrope_tpu.server.batcher import MicroBatcher
+
+        cfg = app.engine.config
+        app.engine.batcher = MicroBatcher(
+            cfg.microbatch_max if args.max_batch is None else args.max_batch,
+            cfg.microbatch_wait_ms,
+            max_inflight=(cfg.microbatch_inflight if args.inflight is None
+                          else args.inflight),
+            linger_ms=(cfg.microbatch_linger_ms if args.linger_ms is None
+                       else args.linger_ms),
+        )
 
     rng = np.random.default_rng(42)
     base = rng.standard_normal((args.n, args.dim)).astype(np.float32)
@@ -165,6 +188,21 @@ def main() -> None:
               file=sys.stderr)
         with RespClient("127.0.0.1", port, timeout=300) as c:  # warm compile
             c.vec_search("lt", name, encode_vector(queries[0]), 10)
+        # warm every batch bucket the micro-batcher can form (shapes.py
+        # batch_bucket): first-touch compiles cost seconds through the
+        # tunnel and would otherwise land inside the timed window (measured
+        # as 2-2.5 s p99 spikes). Same k_exec (round_k(10)=10) and default
+        # SearchOptions as the serving path.
+        from pyrope_tpu.types import SearchOptions
+        st = app.engine.registry.try_get("lt", name)
+        wq = queries[:1]
+        mb = app.engine.batcher.max_batch if app.engine.batcher else 64
+        for b in (8, 16, 32, 64, 128, 256):
+            if b > max(mb, 64):
+                break
+            st.index.search_batch(np.repeat(wq, b, axis=0), 10,
+                                  SearchOptions())
+        print(f"[{name}] batch buckets warmed", file=sys.stderr)
 
         if "search" in args.cells:
             for conc in args.concurrency:

@@ -144,3 +144,29 @@ def test_restart_persistence_roundtrip(tmp_path):
     assert eng2.stats("t1", "idx")["count"] == 200
     r = eng2.search("t1", "idx", vecs[42], 3)
     assert r.ok and r.hits[0].id == "v42"
+
+
+def test_serving_executor_exceeds_cpu_default(stack):
+    """asyncio.to_thread's default pool is min(32, cpu+4) — 5 threads on a
+    1-core host, which silently caps concurrent engine calls and pins the
+    micro-batcher's group size at the pool size instead of client
+    concurrency (measured: avg_batch 3 / max 5 at concurrency 64).
+    PyropeApp.start must install a serving-sized executor."""
+    import concurrent.futures
+
+    app, _ = stack
+    barrier = threading.Barrier(16, timeout=10)
+    errors = []
+
+    def blocker():
+        try:
+            barrier.wait()  # only passes if >= 16 run simultaneously
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    async def fan_out():
+        await asyncio.gather(*(asyncio.to_thread(blocker) for _ in range(16)))
+
+    loop = app._bg_task.get_loop()
+    asyncio.run_coroutine_threadsafe(fan_out(), loop).result(20)
+    assert not errors, errors

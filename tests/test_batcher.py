@@ -192,3 +192,64 @@ class TestInflightGate:
             assert r[0].id == f"v{i}"
         # groups cap at max_batch even while the gate backs them up
         assert max(slow.batch_sizes) <= 4
+
+
+class TestLinger:
+    def test_linger_merges_second_cohort(self):
+        """Two request waves separated by less than the linger must ride ONE
+        batch: without the post-acquire hold the leader dispatches the
+        instant the gate frees and the second wave forms its own group
+        (the closed-loop ping-pong that pins avg_batch at half the offered
+        concurrency)."""
+        import time
+
+        idx, vecs = make_index(n=64, dim=8)
+        b = MicroBatcher(max_batch=64, max_wait_ms=0.5, max_inflight=1,
+                         linger_ms=80.0)
+        results = [None] * 16
+        errs = []
+
+        def worker(i):
+            try:
+                results[i] = b.search(idx, vecs[i], 3)
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        first = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        second = [threading.Thread(target=worker, args=(i,))
+                  for i in range(8, 16)]
+        for t in first:
+            t.start()
+        time.sleep(0.02)  # inside the 80 ms linger window
+        for t in second:
+            t.start()
+        for t in first + second:
+            t.join()
+        assert not errs
+        for i, r in enumerate(results):
+            assert r is not None and r[0].id == f"v{i}"
+        assert b.stats.batches == 1, b.to_dict()
+        assert b.stats.max_batch_seen == 16, b.to_dict()
+
+    def test_linger_early_exits_when_full(self):
+        """A full group must not serve out the whole linger."""
+        import time
+
+        idx, vecs = make_index(n=8, dim=8)
+        b = MicroBatcher(max_batch=8, max_wait_ms=0.5, max_inflight=1,
+                         linger_ms=5000.0)
+        results = [None] * 8
+
+        def worker(i):
+            results[i] = b.search(idx, vecs[i], 3)
+
+        t0 = time.perf_counter()
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        took = time.perf_counter() - t0
+        assert took < 2.0, took  # early exit, not the 5 s linger
+        assert all(r is not None for r in results)
+        assert b.stats.max_batch_seen == 8
