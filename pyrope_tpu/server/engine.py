@@ -89,6 +89,30 @@ class Trace:
 
 
 @dataclasses.dataclass
+class _SearchCont:
+    """Opaque continuation between search_begin and search_resume: the
+    validated request plus everything the host leg already computed. Owns
+    the quota lease until search_resume's finally releases it."""
+
+    tenant: str
+    index: str
+    q: np.ndarray
+    top_k: int
+    filter_tags: Sequence[str]
+    with_meta: bool
+    cache_hint_force: bool
+    options: Optional[SearchOptions]
+    tr: Optional["Trace"]
+    t_start: float
+    lease: object
+    state: object
+    key: object
+    decision: object
+    stats: object
+    proxy_cost: float
+
+
+@dataclasses.dataclass
 class SearchResponse:
     ok: bool
     hits: list[Hit] = dataclasses.field(default_factory=list)
@@ -216,29 +240,70 @@ class PyropeEngine:
         cache_hint_force: bool = False,
         options: Optional[SearchOptions] = None,
     ) -> SearchResponse:
+        """Full search pipeline (ref: VectorCommandSet.cs:180-539) —
+        composition of the host-only leg and the device leg below."""
+        resp, cont = self.search_begin(
+            tenant, index, query, top_k, api_key=api_key,
+            filter_tags=filter_tags, with_meta=with_meta, trace=trace,
+            request_id=request_id, cache_hint_force=cache_hint_force,
+            options=options,
+        )
+        if resp is not None:
+            return resp
+        return self.search_resume(cont)
+
+    def search_begin(
+        self,
+        tenant: str,
+        index: str,
+        query: np.ndarray,
+        top_k: int = 10,
+        *,
+        api_key: Optional[str] = None,
+        filter_tags: Sequence[str] = (),
+        with_meta: bool = False,
+        trace: bool = False,
+        request_id: str = "",
+        cache_hint_force: bool = False,
+        options: Optional[SearchOptions] = None,
+    ) -> tuple[Optional[SearchResponse], Optional["_SearchCont"]]:
+        """HOST-ONLY leg of the pipeline: quota lease, auth, key build,
+        policy, and the host cache levels — L0 result cache, L0.5 canonical
+        alias, L1 SimHash (dict lookups + a numpy hash; the L2 probe is NOT
+        here because its centroid scoring runs on the device). Returns
+        ``(response, None)`` when the request finishes here (hit or error),
+        or ``(None, continuation)`` for :meth:`search_resume`, which owns
+        the quota-lease release from that point on.
+
+        The split exists for the async data plane: a cache HIT costs ~70 us
+        of host work, while a thread-pool hop costs more than that by
+        itself — so the RESP server runs this leg inline on the event loop
+        and pays the executor only for misses (the cache's whole purpose is
+        dodging device dispatch; dodging the thread hop completes it)."""
         t_start = time.perf_counter()
         tr = Trace(request_id=request_id) if trace else None
 
         ok, lease, code, msg = self.quota.try_begin_request(tenant)
         if not ok:
-            return SearchResponse(False, error_code=code, error_message=msg)
+            return SearchResponse(False, error_code=code, error_message=msg), None
+        handed_off = False
         try:
             if not self._authenticate(tenant, api_key):
                 return SearchResponse(
                     False, error_code=ec.VEC_ERR_AUTH, error_message="authentication failed"
-                )
+                ), None
             state = self.registry.try_get(tenant, index)
             if state is None:
                 return SearchResponse(
                     False, error_code=ec.VEC_ERR_NOT_FOUND,
                     error_message=f"index not found: {tenant}:{index}",
-                )
+                ), None
             q = np.asarray(query, dtype=np.float32).reshape(-1)
             if q.shape[0] != state.config.dim:
                 return SearchResponse(
                     False, error_code=ec.VEC_ERR_DIM,
                     error_message=f"dim mismatch: expected {state.config.dim}, got {q.shape[0]}",
-                )
+                ), None
 
             # --- policy (ref :200-204) ---------------------------------
             t0 = time.perf_counter()
@@ -249,10 +314,9 @@ class PyropeEngine:
             if tr:
                 tr.policy_ms = (time.perf_counter() - t0) * 1000
 
-            # --- cache cascade (ref :210-386) --------------------------
+            # --- host cache levels (ref :210-281) -----------------------
             stats = state.index.get_stats()
             proxy_cost = estimate_search_cost(stats)
-            cluster_id: Optional[int] = None
             hits: Optional[list[SearchResult]] = None
             level = ""
             t0 = time.perf_counter()
@@ -278,37 +342,66 @@ class PyropeEngine:
                     hits = self.result_cache.try_get(l1_key)
                     if hits is not None:
                         level = "L1"
-                if hits is None and self.config.enable_l2_cluster:  # L2 (ref :316-386)
-                    near = self.clusters.find_nearest_cluster(tenant, index, q)
-                    if near is not None:
-                        cluster_id, score = near
-                        self.prefetcher.record_interaction(tenant, index, cluster_id)
-                        self._maybe_enqueue_prefetch(tenant, index, cluster_id, top_k)
-                        if is_cluster_close_enough(
-                            score, state.config.metric, proxy_cost
-                        ):
-                            l2_key = key.with_cluster(cluster_id)
-                            hits = self.result_cache.try_get(l2_key)
-                            if hits is not None:
-                                level = "L2"
             if tr:
                 tr.cache_ms = (time.perf_counter() - t0) * 1000
 
             if hits is not None:
-                self.metrics.record_hit()
-                self.billing.record_request(tenant, cache_hit=True)
-                out = self._join_meta(tenant, index, hits, filter_tags, with_meta, top_k, tr)
-                if tr:
-                    tr.cache_hit = True
-                    tr.cache_level = level
-                    tr.latency_ms = (time.perf_counter() - t_start) * 1000
-                self.metrics.record_search_latency((time.perf_counter() - t_start) * 1000)
-                return SearchResponse(True, hits=out, trace=tr)
+                return self._finish_hit(
+                    tenant, index, hits, level, filter_tags, with_meta,
+                    top_k, tr, t_start,
+                ), None
+
+            handed_off = True
+            return None, _SearchCont(
+                tenant=tenant, index=index, q=q, top_k=top_k,
+                filter_tags=filter_tags, with_meta=with_meta,
+                cache_hint_force=cache_hint_force, options=options,
+                tr=tr, t_start=t_start, lease=lease, state=state,
+                key=key, decision=decision, stats=stats,
+                proxy_cost=proxy_cost,
+            )
+        finally:
+            if not handed_off and lease is not None:
+                lease.release()
+
+    def search_resume(self, cont: "_SearchCont") -> SearchResponse:
+        """Device leg of the pipeline: L2 cluster probe (centroid scoring on
+        the device), SLO shed, budget degradation, the engine dispatch
+        (micro-batched), metadata join, and the cache set cascade
+        (ref :316-539). Releases the quota lease taken by search_begin."""
+        tenant, index, q = cont.tenant, cont.index, cont.q
+        top_k, tr, t_start = cont.top_k, cont.tr, cont.t_start
+        state, key, decision = cont.state, cont.key, cont.decision
+        stats, proxy_cost = cont.stats, cont.proxy_cost
+        try:
+            # --- L2 cluster cache (ref :316-386) ------------------------
+            cluster_id: Optional[int] = None
+            hits: Optional[list[SearchResult]] = None
+            t0 = time.perf_counter()
+            if decision.should_cache and self.config.enable_l2_cluster:
+                near = self.clusters.find_nearest_cluster(tenant, index, q)
+                if near is not None:
+                    cluster_id, score = near
+                    self.prefetcher.record_interaction(tenant, index, cluster_id)
+                    self._maybe_enqueue_prefetch(tenant, index, cluster_id, top_k)
+                    if is_cluster_close_enough(
+                        score, state.config.metric, proxy_cost
+                    ):
+                        l2_key = key.with_cluster(cluster_id)
+                        hits = self.result_cache.try_get(l2_key)
+            if tr:
+                tr.cache_ms += (time.perf_counter() - t0) * 1000
+
+            if hits is not None:
+                return self._finish_hit(
+                    tenant, index, hits, "L2", cont.filter_tags,
+                    cont.with_meta, top_k, tr, t_start,
+                )
 
             # --- miss path: SLO shed (ref :426-434) ---------------------
             self.metrics.record_miss()
             priority = self._tenant_priority(tenant)
-            if cache_hint_force or self.slo.should_force_cache_only(priority):
+            if cont.cache_hint_force or self.slo.should_force_cache_only(priority):
                 self.billing.record_request(tenant, cache_hit=False)
                 return SearchResponse(
                     False, error_code=ec.VEC_ERR_BUSY,
@@ -316,7 +409,7 @@ class PyropeEngine:
                 )
 
             # --- search options: degraded + budget (ref :437-456) -------
-            opts = options or SearchOptions()
+            opts = cont.options or SearchOptions()
             opts = self.slo.get_search_options(opts, priority)
             self.billing.record_compute(tenant, proxy_cost)
             self.quota.record_cost(tenant, proxy_cost)
@@ -341,7 +434,9 @@ class PyropeEngine:
             if tr:
                 tr.engine_ms = (time.perf_counter() - t0) * 1000
 
-            joined = self._join_meta(tenant, index, raw, filter_tags, with_meta, k_exec, tr)
+            joined = self._join_meta(
+                tenant, index, raw, cont.filter_tags, cont.with_meta, k_exec, tr
+            )
             out = joined[:top_k]
             self.billing.record_request(tenant, cache_hit=False)
 
@@ -365,8 +460,23 @@ class PyropeEngine:
             self.metrics.record_search_latency((time.perf_counter() - t_start) * 1000)
             return SearchResponse(True, hits=out, trace=tr)
         finally:
-            if lease is not None:
-                lease.release()
+            if cont.lease is not None:
+                cont.lease.release()
+                cont.lease = None
+
+    def _finish_hit(
+        self, tenant, index, hits, level, filter_tags, with_meta, top_k,
+        tr, t_start,
+    ) -> SearchResponse:
+        self.metrics.record_hit()
+        self.billing.record_request(tenant, cache_hit=True)
+        out = self._join_meta(tenant, index, hits, filter_tags, with_meta, top_k, tr)
+        if tr:
+            tr.cache_hit = True
+            tr.cache_level = level
+            tr.latency_ms = (time.perf_counter() - t_start) * 1000
+        self.metrics.record_search_latency((time.perf_counter() - t_start) * 1000)
+        return SearchResponse(True, hits=out, trace=tr)
 
     def _join_meta(
         self,

@@ -257,14 +257,20 @@ class RespServer:
 
     async def _search(self, args: list[bytes]) -> bytes:
         req = parse_search(args, default_tenant=SessionAuthContext.get_tenant())
-        r = await asyncio.to_thread(
-            self.engine.search,
+        # host-only leg INLINE on the event loop: a cache hit is ~70 us of
+        # dict/numpy work, while the executor hop alone costs more — only a
+        # miss (device work: L2 probe + engine dispatch) pays the thread
+        r, cont = self.engine.search_begin(
             req.tenant, req.index, req.vector, req.top_k,
             api_key=req.api_key, filter_tags=req.filter_tags,
             with_meta=req.with_meta, trace=req.trace,
             request_id=req.request_id, cache_hint_force=req.cache_hint_force,
             options=req.options,
         )
+        if r is None:
+            r = await asyncio.get_running_loop().run_in_executor(
+                None, self.engine.search_resume, cont
+            )
         if not r.ok:
             return encode_error(f"{r.error_code} {r.error_message}")
         hits = []
