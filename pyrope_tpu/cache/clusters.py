@@ -8,9 +8,13 @@ to 10% (min 1 s) when a cluster sees >10 writes/min — "Semantic TTL"
 (:95-121).
 
 TPU-first difference: nearest-cluster assignment is a batched ``[B, K]``
-score computed with the same device kernels as IVF centroid ranking
-(ops.distance), not a scalar per-centroid loop — and centroids sync
-straight from a built IVF index's ``CentroidsProvider``.
+score (same conventions as ops.distance.score_matrix: higher = better,
+L2 → −d²), not a scalar per-centroid loop — and centroids sync straight
+from a built IVF index's ``CentroidsProvider``. The scoring itself runs
+on HOST numpy, deliberately: a [1, K≤1024] probe is dispatch-bound on
+the device (one H2D + one D2H per call — ~30 ms through a tunneled
+chip, and this probe sits on the per-write and per-search-miss paths
+OUTSIDE the micro-batcher), while numpy does it in microseconds.
 """
 
 from __future__ import annotations
@@ -20,7 +24,6 @@ from typing import Optional
 
 import numpy as np
 
-from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.types import Metric
 from pyrope_tpu.utils.clock import SYSTEM_CLOCK, Clock
 
@@ -28,6 +31,25 @@ _WINDOW_S = 60.0
 _HOT_WRITES_PER_MIN = 10
 _TTL_CUT = 0.1
 _TTL_MIN_S = 1.0
+
+
+def _host_score_matrix(q: np.ndarray, x: np.ndarray, metric: Metric) -> np.ndarray:
+    """[B, K] scores on host numpy, matching ops.distance.score_matrix's
+    conventions exactly (higher = better; L2 → −max(d², 0); cosine
+    denominator floored at 1e-12)."""
+    dots = q @ x.T
+    if metric == Metric.INNER_PRODUCT:
+        return dots
+    if metric == Metric.L2:
+        qq = np.einsum("bd,bd->b", q, q)
+        xx = np.einsum("kd,kd->k", x, x)
+        d2 = qq[:, None] - 2.0 * dots + xx[None, :]
+        return -np.maximum(d2, 0.0)
+    if metric == Metric.COSINE:
+        qn = np.sqrt(np.einsum("bd,bd->b", q, q))
+        xn = np.sqrt(np.einsum("kd,kd->k", x, x))
+        return dots / np.maximum(qn[:, None] * xn[None, :], 1e-12)
+    raise ValueError(f"unknown metric {metric}")
 
 
 class _IndexClusters:
@@ -79,7 +101,7 @@ class SemanticClusterRegistry:
         if st is None or st.centroids.size == 0:
             return None
         q = np.asarray(queries, dtype=np.float32)
-        scores = np.asarray(score_matrix(q, st.centroids, st.metric))  # [B, K]
+        scores = _host_score_matrix(q, st.centroids, st.metric)  # [B, K]
         ids = scores.argmax(axis=1)
         return ids.astype(np.int64), scores[np.arange(len(ids)), ids]
 

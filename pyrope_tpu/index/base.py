@@ -30,6 +30,13 @@ class VectorIndex(abc.ABC):
     dim: int
     metric: Metric
 
+    # True when add/upsert/delete are cheap HOST work (buffer append, slab
+    # write, tombstone — microseconds, no device dispatch, no graph walk).
+    # The async data plane serves such writes inline on its event loop
+    # instead of paying a thread-pool hop per op (server/resp.py). HNSW
+    # keeps the default False: its per-row insert is a full graph descent.
+    host_write_cheap = False
+
     _lock_init = threading.Lock()
 
     @property

@@ -45,6 +45,12 @@ class DeltaIndex(VectorIndex, CentroidsProvider):
 
     # ---- mutation (writes land in Head, ref :29-56) ----------------------
 
+
+    @property
+    def host_write_cheap(self) -> bool:  # type: ignore[override]
+        # writes land in the head (ref: DeltaVectorIndex.cs:48-63)
+        return self.head.host_write_cheap
+
     def add(self, id: str, vector: np.ndarray) -> bool:
         # duplicate iff the id is live anywhere (head or tail); never mutate
         # state while answering that question

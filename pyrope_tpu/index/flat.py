@@ -143,6 +143,8 @@ def sq8_quantize(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
 class FlatIndex(VectorIndex):
     """Exact scan index with tombstone deletes and optional SQ8 storage."""
 
+    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+
     def __init__(
         self,
         dim: int,

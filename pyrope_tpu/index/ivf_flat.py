@@ -338,6 +338,8 @@ def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str
 
 
 class IvfFlatIndex(VectorIndex, CentroidsProvider):
+    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+
     def __init__(
         self,
         dim: int,

@@ -283,6 +283,8 @@ def _ivfpq_refine_search_fn(
 
 
 class IvfPqIndex(VectorIndex, CentroidsProvider):
+    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+
     def __init__(
         self,
         dim: int,

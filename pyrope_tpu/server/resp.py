@@ -174,7 +174,12 @@ class RespServer:
                     await writer.drain()
                     break
                 writer.write(resp)
-                await writer.drain()
+                # drain() is flow control, not a flush — it only needs to
+                # run when the transport buffer is actually backed up, and
+                # awaiting it per response costs a scheduler hop on the hot
+                # path (asyncio writes go to the socket from write() itself)
+                if writer.transport.get_write_buffer_size() > 65536:
+                    await writer.drain()
         except (ConnectionResetError, asyncio.IncompleteReadError, BrokenPipeError):
             pass
         finally:
@@ -236,20 +241,32 @@ class RespServer:
 
     async def _write(self, args: list[bytes], upsert: bool) -> bytes:
         req = parse_write(args)
-        r = await asyncio.to_thread(
-            self.engine.add,
-            req.tenant, req.index, req.id, req.vector,
-            api_key=req.api_key, meta=req.meta, tags=req.tags,
-            numeric_fields=req.numeric_fields, upsert=upsert,
-        )
+        # buffer/slab-backed families write in microseconds of host work
+        # (host_write_cheap) — serve those inline on the event loop; graph
+        # families (HNSW per-row insert) and index auto-creation keep the
+        # thread pool
+        state = self.engine.registry.try_get(req.tenant, req.index)
+
+        def call():
+            return self.engine.add(
+                req.tenant, req.index, req.id, req.vector,
+                api_key=req.api_key, meta=req.meta, tags=req.tags,
+                numeric_fields=req.numeric_fields, upsert=upsert,
+            )
+
+        if state is not None and state.index.host_write_cheap:
+            r = call()
+        else:
+            r = await asyncio.to_thread(call)
         if r.ok:
             return encode_simple(ec.VEC_OK)
         return encode_error(f"{r.error_code} {r.error_message}")
 
     async def _delete(self, args: list[bytes]) -> bytes:
         req = parse_delete(args)
-        r = await asyncio.to_thread(
-            self.engine.delete, req.tenant, req.index, req.id, api_key=req.api_key
+        # deletes are tombstones in every family — host dict work, inline
+        r = self.engine.delete(
+            req.tenant, req.index, req.id, api_key=req.api_key
         )
         if r.ok:
             return encode_simple(ec.VEC_OK)
