@@ -39,6 +39,35 @@ from pyrope_tpu.types import Metric
 DEFAULT_ROW_TILE = 4096
 DEFAULT_BATCH_TILE = 64
 NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captured by kernels)
+RANK_MERGE_MAX_K = 32  # above this, _merge_tile uses the full extract-max merge
+
+
+def _merge_tile_full(run_v, run_i, scores, rows, *, k: int):
+    """k rounds of extract-max over the fused [Bt, k + T] candidate row.
+
+    The wide-k merge (see _merge_tile): O(k·(k+T)) VPU work per merging
+    tile, but constant vmem — no unrolled [Bt, k] temporaries."""
+    cand_v = jnp.concatenate([run_v[:], scores], axis=1)
+    cand_i = jnp.concatenate(
+        [run_i[:], jnp.broadcast_to(rows, scores.shape)], axis=1
+    )
+    bt = cand_v.shape[0]
+    width = cand_v.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, width), 1)
+    new_v = []
+    new_i = []
+    for _ in range(k):
+        m = jnp.max(cand_v, axis=1, keepdims=True)            # [Bt, 1]
+        is_m = cand_v == m
+        # first column attaining the max
+        first = jnp.min(jnp.where(is_m, col, width), axis=1, keepdims=True)
+        picked = col == first
+        sel_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1, keepdims=True)
+        new_v.append(m)
+        new_i.append(jnp.where(m > NEG_INF, sel_i, -1))
+        cand_v = jnp.where(picked, NEG_INF, cand_v)
+    run_v[:] = jnp.concatenate(new_v, axis=1)
+    run_i[:] = jnp.concatenate(new_i, axis=1)
 
 
 def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
@@ -69,37 +98,99 @@ def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
 def _merge_tile(run_v, run_i, scores, rows, *, k: int):
     """Merge a tile's masked scores into the [Bt, k] running top-k scratch.
 
-    threshold gate: merging costs k extract-max rounds, but most tiles
-    contribute nothing once the running kth-best is high — pay one max
-    round always, and the full merge only when some row improves."""
+    Two-level cost control (the merge, not the MXU, is the kernel's wall —
+    measured 2.31 ms at k=10 vs 0.79 ms at k=1 on 1M x 128 before this):
+
+    1. threshold gate: pay one max round always; touch the tile at all only
+       when some row improves on its running kth-best.
+    2. dynamic rounds: a merging tile rarely contributes k new entries —
+       count per row how many scores beat that row's kth-best, and run the
+       extract-max loop only max-over-rows(count) times (data-dependent
+       `fori_loop` trip; usually 1-2 after the first few tiles). The
+       extracted, sorted-desc prefix is then merged with the (sorted-desc)
+       running list by rank arithmetic on [Bt, k] arrays: O(k^2) vreg ops
+       instead of k more passes over the tile.
+
+    Tie-breaking matches the one-loop merge this replaces: existing run
+    entries win ties against tile scores (merge-rank counts `>=` for run),
+    and within a tile the lowest row index wins (first-column argmax).
+
+    Wide k falls back to the plain k-round extract-max over the fused
+    [Bt, k + T] row: the rank merge's 2k unrolled [Bt, k] where-chains blow
+    the 16 MB scoped-vmem stack at k ~ 100 (measured 21.5 MB), and wide-k
+    calls are rare (rerank shortlists go through top_k instead)."""
     tile_max = jnp.max(scores, axis=1, keepdims=True)         # [Bt, 1]
     theta = run_v[:, k - 1 : k]                               # kth best per row
     need_merge = jnp.any(tile_max > theta)
 
+    if k > RANK_MERGE_MAX_K:
+        @pl.when(need_merge)
+        def _():
+            _merge_tile_full(run_v, run_i, scores, rows, k=k)
+        return
+
     @pl.when(need_merge)
     def _():
-        # k rounds of extract-max over the fused [Bt, k + T] candidate row
-        cand_v = jnp.concatenate([run_v[:], scores], axis=1)
-        cand_i = jnp.concatenate(
-            [run_i[:], jnp.broadcast_to(rows, scores.shape)], axis=1
-        )
-        bt = cand_v.shape[0]
-        width = cand_v.shape[1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (bt, width), 1)
-        new_v = []
-        new_i = []
-        for _ in range(k):
-            m = jnp.max(cand_v, axis=1, keepdims=True)        # [Bt, 1]
-            is_m = cand_v == m
+        bt, t = scores.shape
+        col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
+        rows_b = jnp.broadcast_to(rows, (bt, t))
+        colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
+
+        beats = jnp.sum(
+            jnp.where(scores > theta, 1, 0).astype(jnp.int32), axis=1
+        )                                                     # [Bt]
+        rounds = jnp.minimum(jnp.max(beats), k)               # dynamic scalar
+
+        def body(j, carry):
+            sc, ext_v, ext_i = carry
+            m = jnp.max(sc, axis=1, keepdims=True)            # [Bt, 1]
+            is_m = sc == m
             # first column attaining the max
-            first = jnp.min(jnp.where(is_m, col, width), axis=1, keepdims=True)
+            first = jnp.min(jnp.where(is_m, col, t), axis=1, keepdims=True)
             picked = col == first
-            sel_i = jnp.sum(jnp.where(picked, cand_i, 0), axis=1, keepdims=True)
-            new_v.append(m)
-            new_i.append(jnp.where(m > NEG_INF, sel_i, -1))
-            cand_v = jnp.where(picked, NEG_INF, cand_v)
-        run_v[:] = jnp.concatenate(new_v, axis=1)
-        run_i[:] = jnp.concatenate(new_i, axis=1)
+            sel_i = jnp.sum(jnp.where(picked, rows_b, 0), axis=1, keepdims=True)
+            sc = jnp.where(picked, NEG_INF, sc)
+            put = colk == j
+            ext_v = jnp.where(put, jnp.broadcast_to(m, (bt, k)), ext_v)
+            ext_i = jnp.where(
+                put,
+                jnp.broadcast_to(
+                    jnp.where(m > NEG_INF, sel_i, -1), (bt, k)
+                ),
+                ext_i,
+            )
+            return sc, ext_v, ext_i
+
+        init = (
+            scores,
+            jnp.full((bt, k), jnp.float32(NEG_INF)),
+            jnp.full((bt, k), -1, jnp.int32),
+        )
+        _, ext_v, ext_i = jax.lax.fori_loop(0, rounds, body, init)
+
+        # rank-based merge of two sorted-desc k-lists (run wins ties):
+        # run[i] lands at i + #(ext > run[i]); ext[j] at j + #(run >= ext[j]).
+        # Both position vectors are strictly increasing, jointly a
+        # permutation of 0..2k-1; positions >= k simply never match colk.
+        rv, ri = run_v[:], run_i[:]
+        cnt_r = jnp.zeros((bt, k), jnp.int32)
+        cnt_e = jnp.zeros((bt, k), jnp.int32)
+        for jj in range(k):
+            cnt_r = cnt_r + (ext_v[:, jj : jj + 1] > rv).astype(jnp.int32)
+            cnt_e = cnt_e + (rv[:, jj : jj + 1] >= ext_v).astype(jnp.int32)
+        pos_r = colk + cnt_r
+        pos_e = colk + cnt_e
+        out_v = jnp.full((bt, k), jnp.float32(NEG_INF))
+        out_i = jnp.full((bt, k), -1, jnp.int32)
+        for jj in range(k):
+            put = colk == pos_r[:, jj : jj + 1]
+            out_v = jnp.where(put, rv[:, jj : jj + 1], out_v)
+            out_i = jnp.where(put, ri[:, jj : jj + 1], out_i)
+            put = colk == pos_e[:, jj : jj + 1]
+            out_v = jnp.where(put, ext_v[:, jj : jj + 1], out_v)
+            out_i = jnp.where(put, ext_i[:, jj : jj + 1], out_i)
+        run_v[:] = out_v
+        run_i[:] = out_i
 
 
 def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
