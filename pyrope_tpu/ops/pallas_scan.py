@@ -141,56 +141,78 @@ def _merge_tile(run_v, run_i, scores, rows, *, k: int):
         )                                                     # [Bt]
         rounds = jnp.minimum(jnp.max(beats), k)               # dynamic scalar
 
-        def body(j, carry):
-            sc, ext_v, ext_i = carry
-            m = jnp.max(sc, axis=1, keepdims=True)            # [Bt, 1]
-            is_m = sc == m
-            # first column attaining the max
-            first = jnp.min(jnp.where(is_m, col, t), axis=1, keepdims=True)
-            picked = col == first
-            sel_i = jnp.sum(jnp.where(picked, rows_b, 0), axis=1, keepdims=True)
-            sc = jnp.where(picked, NEG_INF, sc)
-            put = colk == j
-            ext_v = jnp.where(put, jnp.broadcast_to(m, (bt, k)), ext_v)
-            ext_i = jnp.where(
-                put,
-                jnp.broadcast_to(
-                    jnp.where(m > NEG_INF, sel_i, -1), (bt, k)
-                ),
-                ext_i,
-            )
-            return sc, ext_v, ext_i
+        # When extraction would run ~k rounds anyway (early tiles, theta
+        # still warming), the fully-unrolled merge wins: Mosaic software-
+        # pipelines the static passes, while a data-dependent fori_loop
+        # trip serializes them. Dynamic rounds win once tiles contribute
+        # little (most tiles, on long scans). Same-day A/B at k=10 b1024:
+        # dynamic-only was 1.79x on 1M x 128 but 11% WORSE on the 25-tile
+        # 100k dense-IVF scan; this branch keeps both wins.
+        @pl.when(2 * rounds > k)
+        def _():
+            _merge_tile_full(run_v, run_i, scores, rows, k=k)
 
-        init = (
-            scores,
-            jnp.full((bt, k), jnp.float32(NEG_INF)),
-            jnp.full((bt, k), -1, jnp.int32),
+        @pl.when(2 * rounds <= k)
+        def _():
+            _merge_dynamic(run_v, run_i, scores, rows, col, rows_b, colk,
+                           rounds, k=k)
+
+
+def _merge_dynamic(run_v, run_i, scores, rows, col, rows_b, colk, rounds,
+                   *, k: int):
+    """Dynamic-rounds extraction + rank merge (see _merge_tile)."""
+    bt, t = scores.shape
+
+    def body(j, carry):
+        sc, ext_v, ext_i = carry
+        m = jnp.max(sc, axis=1, keepdims=True)                # [Bt, 1]
+        is_m = sc == m
+        # first column attaining the max
+        first = jnp.min(jnp.where(is_m, col, t), axis=1, keepdims=True)
+        picked = col == first
+        sel_i = jnp.sum(jnp.where(picked, rows_b, 0), axis=1, keepdims=True)
+        sc = jnp.where(picked, NEG_INF, sc)
+        put = colk == j
+        ext_v = jnp.where(put, jnp.broadcast_to(m, (bt, k)), ext_v)
+        ext_i = jnp.where(
+            put,
+            jnp.broadcast_to(
+                jnp.where(m > NEG_INF, sel_i, -1), (bt, k)
+            ),
+            ext_i,
         )
-        _, ext_v, ext_i = jax.lax.fori_loop(0, rounds, body, init)
+        return sc, ext_v, ext_i
 
-        # rank-based merge of two sorted-desc k-lists (run wins ties):
-        # run[i] lands at i + #(ext > run[i]); ext[j] at j + #(run >= ext[j]).
-        # Both position vectors are strictly increasing, jointly a
-        # permutation of 0..2k-1; positions >= k simply never match colk.
-        rv, ri = run_v[:], run_i[:]
-        cnt_r = jnp.zeros((bt, k), jnp.int32)
-        cnt_e = jnp.zeros((bt, k), jnp.int32)
-        for jj in range(k):
-            cnt_r = cnt_r + (ext_v[:, jj : jj + 1] > rv).astype(jnp.int32)
-            cnt_e = cnt_e + (rv[:, jj : jj + 1] >= ext_v).astype(jnp.int32)
-        pos_r = colk + cnt_r
-        pos_e = colk + cnt_e
-        out_v = jnp.full((bt, k), jnp.float32(NEG_INF))
-        out_i = jnp.full((bt, k), -1, jnp.int32)
-        for jj in range(k):
-            put = colk == pos_r[:, jj : jj + 1]
-            out_v = jnp.where(put, rv[:, jj : jj + 1], out_v)
-            out_i = jnp.where(put, ri[:, jj : jj + 1], out_i)
-            put = colk == pos_e[:, jj : jj + 1]
-            out_v = jnp.where(put, ext_v[:, jj : jj + 1], out_v)
-            out_i = jnp.where(put, ext_i[:, jj : jj + 1], out_i)
-        run_v[:] = out_v
-        run_i[:] = out_i
+    init = (
+        scores,
+        jnp.full((bt, k), jnp.float32(NEG_INF)),
+        jnp.full((bt, k), -1, jnp.int32),
+    )
+    _, ext_v, ext_i = jax.lax.fori_loop(0, rounds, body, init)
+
+    # rank-based merge of two sorted-desc k-lists (run wins ties):
+    # run[i] lands at i + #(ext > run[i]); ext[j] at j + #(run >= ext[j]).
+    # Both position vectors are strictly increasing, jointly a
+    # permutation of 0..2k-1; positions >= k simply never match colk.
+    rv, ri = run_v[:], run_i[:]
+    cnt_r = jnp.zeros((bt, k), jnp.int32)
+    cnt_e = jnp.zeros((bt, k), jnp.int32)
+    for jj in range(k):
+        cnt_r = cnt_r + (ext_v[:, jj : jj + 1] > rv).astype(jnp.int32)
+        cnt_e = cnt_e + (rv[:, jj : jj + 1] >= ext_v).astype(jnp.int32)
+    pos_r = colk + cnt_r
+    pos_e = colk + cnt_e
+    out_v = jnp.full((bt, k), jnp.float32(NEG_INF))
+    out_i = jnp.full((bt, k), -1, jnp.int32)
+    for jj in range(k):
+        put = colk == pos_r[:, jj : jj + 1]
+        out_v = jnp.where(put, rv[:, jj : jj + 1], out_v)
+        out_i = jnp.where(put, ri[:, jj : jj + 1], out_i)
+        put = colk == pos_e[:, jj : jj + 1]
+        out_v = jnp.where(put, ext_v[:, jj : jj + 1], out_v)
+        out_i = jnp.where(put, ext_i[:, jj : jj + 1], out_i)
+    run_v[:] = out_v
+    run_i[:] = out_i
 
 
 def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
