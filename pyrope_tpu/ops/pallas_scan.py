@@ -42,16 +42,19 @@ NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captur
 RANK_MERGE_MAX_K = 32  # above this, _merge_tile uses the full extract-max merge
 
 
-def _merge_tile_full(run_v, run_i, scores, rows, *, k: int):
+def _merge_tile_wide(run_v, run_i, scores, base, *, k: int):
     """k rounds of extract-max over the fused [Bt, k + T] candidate row.
 
-    The wide-k merge (see _merge_tile): O(k·(k+T)) VPU work per merging
-    tile, but constant vmem — no unrolled [Bt, k] temporaries."""
+    The wide-k (> RANK_MERGE_MAX_K) merge: O(k·(k+T)) VPU work per merging
+    tile, but constant vmem — no unrolled [Bt, k] temporaries (the rank
+    merge's 2k unrolled where-chains blow the 16 MB scoped-vmem stack at
+    k ~ 100; measured 21.5 MB)."""
+    bt, t = scores.shape
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, t), 1)
     cand_v = jnp.concatenate([run_v[:], scores], axis=1)
     cand_i = jnp.concatenate(
         [run_i[:], jnp.broadcast_to(rows, scores.shape)], axis=1
     )
-    bt = cand_v.shape[0]
     width = cand_v.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (bt, width), 1)
     new_v = []
@@ -95,30 +98,34 @@ def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
     return dots  # IP (cosine rows pre-normalized)
 
 
-def _merge_tile(run_v, run_i, scores, rows, *, k: int):
+def _merge_tile(run_v, run_i, scores, base, *, k: int):
     """Merge a tile's masked scores into the [Bt, k] running top-k scratch.
+    ``base`` is the tile's first corpus row: every kernel scores contiguous
+    rows, so the index of an extracted element is just base + its column —
+    no index array or masked-sum select pass anywhere in the merge.
 
-    Two-level cost control (the merge, not the MXU, is the kernel's wall —
-    measured 2.31 ms at k=10 vs 0.79 ms at k=1 on 1M x 128 before this):
+    Cost control (the merge, not the MXU, is the kernel's wall — time was
+    linear in k before: 0.79 ms at k=1 vs 2.31 ms at k=10 on 1M x 128 b64):
 
     1. threshold gate: pay one max round always; touch the tile at all only
        when some row improves on its running kth-best.
-    2. dynamic rounds: a merging tile rarely contributes k new entries —
-       count per row how many scores beat that row's kth-best, and run the
-       extract-max loop only max-over-rows(count) times (data-dependent
-       `fori_loop` trip; usually 1-2 after the first few tiles). The
-       extracted, sorted-desc prefix is then merged with the (sorted-desc)
-       running list by rank arithmetic on [Bt, k] arrays: O(k^2) vreg ops
-       instead of k more passes over the tile.
+    2. extract-then-rank-merge: extract the tile's top entries (sorted
+       desc) into a [Bt, k] list, then merge the two sorted k-lists by
+       rank arithmetic on [Bt, k] vregs — O(k^2) tiny-vector ops instead
+       of k extra passes over the tile (the old fused [Bt, k+T] merge).
+    3. dynamic rounds: count per row how many scores beat that row's
+       kth-best; when few do (most tiles on long scans), extract with a
+       data-dependent `fori_loop` trip of that many rounds. When ~k rounds
+       are needed anyway (early tiles, theta still warming), a fully-
+       unrolled static extraction wins instead — Mosaic software-pipelines
+       the static passes where a dynamic trip serializes them. Same-day
+       A/B at k=10 b1024: dynamic-only was 1.79x on 1M x 128 but 11%
+       WORSE on the 25-tile 100k dense-IVF scan; the 2*rounds>k branch
+       keeps both wins.
 
-    Tie-breaking matches the one-loop merge this replaces: existing run
-    entries win ties against tile scores (merge-rank counts `>=` for run),
-    and within a tile the lowest row index wins (first-column argmax).
-
-    Wide k falls back to the plain k-round extract-max over the fused
-    [Bt, k + T] row: the rank merge's 2k unrolled [Bt, k] where-chains blow
-    the 16 MB scoped-vmem stack at k ~ 100 (measured 21.5 MB), and wide-k
-    calls are rare (rerank shortlists go through top_k instead)."""
+    Tie-breaking matches the original fused merge: existing run entries
+    win ties against tile scores (rank counts `>=` for run), and within a
+    tile the lowest row index wins (first-column argmax)."""
     tile_max = jnp.max(scores, axis=1, keepdims=True)         # [Bt, 1]
     theta = run_v[:, k - 1 : k]                               # kth best per row
     need_merge = jnp.any(tile_max > theta)
@@ -126,74 +133,73 @@ def _merge_tile(run_v, run_i, scores, rows, *, k: int):
     if k > RANK_MERGE_MAX_K:
         @pl.when(need_merge)
         def _():
-            _merge_tile_full(run_v, run_i, scores, rows, k=k)
+            _merge_tile_wide(run_v, run_i, scores, base, k=k)
         return
 
     @pl.when(need_merge)
     def _():
-        bt, t = scores.shape
-        col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
-        rows_b = jnp.broadcast_to(rows, (bt, t))
-        colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
-
         beats = jnp.sum(
             jnp.where(scores > theta, 1, 0).astype(jnp.int32), axis=1
         )                                                     # [Bt]
         rounds = jnp.minimum(jnp.max(beats), k)               # dynamic scalar
 
-        # When extraction would run ~k rounds anyway (early tiles, theta
-        # still warming), the fully-unrolled merge wins: Mosaic software-
-        # pipelines the static passes, while a data-dependent fori_loop
-        # trip serializes them. Dynamic rounds win once tiles contribute
-        # little (most tiles, on long scans). Same-day A/B at k=10 b1024:
-        # dynamic-only was 1.79x on 1M x 128 but 11% WORSE on the 25-tile
-        # 100k dense-IVF scan; this branch keeps both wins.
         @pl.when(2 * rounds > k)
         def _():
-            _merge_tile_full(run_v, run_i, scores, rows, k=k)
+            ext_v, ext_i = _extract_top(scores, base, k, k=k, unroll=True)
+            _rank_merge(run_v, run_i, ext_v, ext_i, k=k)
 
         @pl.when(2 * rounds <= k)
         def _():
-            _merge_dynamic(run_v, run_i, scores, rows, col, rows_b, colk,
-                           rounds, k=k)
+            ext_v, ext_i = _extract_top(scores, base, rounds, k=k,
+                                        unroll=False)
+            _rank_merge(run_v, run_i, ext_v, ext_i, k=k)
 
 
-def _merge_dynamic(run_v, run_i, scores, rows, col, rows_b, colk, rounds,
-                   *, k: int):
-    """Dynamic-rounds extraction + rank merge (see _merge_tile)."""
+def _extract_top(scores, base, n_rounds, *, k: int, unroll: bool):
+    """Extract the tile's top entries as sorted-desc [Bt, k] lists.
+
+    Consumes ``scores`` by rounds of (max, first-argmax, mask-out); the
+    extracted index is base + first-max column (contiguous rows). With
+    ``unroll`` the loop is k static rounds (pipelined); otherwise a
+    ``fori_loop`` of ``n_rounds`` (a traced scalar). Slots beyond the
+    extracted prefix stay (NEG_INF, -1)."""
     bt, t = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
 
     def body(j, carry):
         sc, ext_v, ext_i = carry
         m = jnp.max(sc, axis=1, keepdims=True)                # [Bt, 1]
-        is_m = sc == m
         # first column attaining the max
-        first = jnp.min(jnp.where(is_m, col, t), axis=1, keepdims=True)
-        picked = col == first
-        sel_i = jnp.sum(jnp.where(picked, rows_b, 0), axis=1, keepdims=True)
-        sc = jnp.where(picked, NEG_INF, sc)
+        first = jnp.min(jnp.where(sc == m, col, t), axis=1, keepdims=True)
+        sc = jnp.where(col == first, NEG_INF, sc)
         put = colk == j
         ext_v = jnp.where(put, jnp.broadcast_to(m, (bt, k)), ext_v)
-        ext_i = jnp.where(
-            put,
-            jnp.broadcast_to(
-                jnp.where(m > NEG_INF, sel_i, -1), (bt, k)
-            ),
-            ext_i,
-        )
+        sel = jnp.where(m > NEG_INF, base + first, -1)
+        ext_i = jnp.where(put, jnp.broadcast_to(sel, (bt, k)), ext_i)
         return sc, ext_v, ext_i
 
-    init = (
+    carry = (
         scores,
         jnp.full((bt, k), jnp.float32(NEG_INF)),
         jnp.full((bt, k), -1, jnp.int32),
     )
-    _, ext_v, ext_i = jax.lax.fori_loop(0, rounds, body, init)
+    if unroll:
+        for j in range(k):
+            carry = body(j, carry)
+    else:
+        carry = jax.lax.fori_loop(0, n_rounds, body, carry)
+    return carry[1], carry[2]
 
-    # rank-based merge of two sorted-desc k-lists (run wins ties):
-    # run[i] lands at i + #(ext > run[i]); ext[j] at j + #(run >= ext[j]).
-    # Both position vectors are strictly increasing, jointly a
-    # permutation of 0..2k-1; positions >= k simply never match colk.
+
+def _rank_merge(run_v, run_i, ext_v, ext_i, *, k: int):
+    """Merge the sorted-desc [Bt, k] ``ext`` lists into the sorted-desc
+    running top-k by rank arithmetic (run wins ties):
+    run[i] lands at i + #(ext > run[i]); ext[j] at j + #(run >= ext[j]).
+    Both position vectors are strictly increasing, jointly a permutation
+    of 0..2k-1; positions >= k simply never match colk."""
+    bt = ext_v.shape[0]
+    colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
     rv, ri = run_v[:], run_i[:]
     cnt_r = jnp.zeros((bt, k), jnp.int32)
     cnt_e = jnp.zeros((bt, k), jnp.int32)
@@ -231,7 +237,7 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     mask = alive_ref[:][None, :] & (rows < ms_ref[0])
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, rows, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -364,7 +370,7 @@ def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
     base = n_idx * row_tile
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, rows, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -530,7 +536,7 @@ def _ivf_scan_windowed_kernel(
     base = n_idx * row_tile
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, rows, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
