@@ -197,12 +197,20 @@ CONFIGS = {
     "ivf1m_np256_b1024": ("IVF_FLAT", 1_000_000, 128,
                           {"nlist": 1000, "train_dtype": "bfloat16",
                            "nprobe": 256, "batch": 1024}),
-    # PQ at 1M clustered (probe mode -> the ADC kernels run on hardware):
-    # m=16 + exact rerank for the quality row, m=8 refine=0 for the
-    # reference-memory-parity pure-ADC row (16x compression)
+    # PQ at 1M clustered. The quality row (m=16 + exact rerank) now routes
+    # dense-exact-pallas-win (auto keeps Pallas-eligible slabs dense at any
+    # scale — same-day A/B 33.5k QPS recall 0.9996 vs probe's 5.7k at
+    # 0.9660); the ADC kernels stay proven on hardware by ivfpq1m_adc
+    # (refine=0 pure ADC) and the explicit-probe ivfpq1m_probe row
     "ivfpq1m_clustered": ("IVF_PQ", 1_000_000, 128,
                           {"nlist": 1000, "pq_m": 16, "ksub": 256,
                            "train_dtype": "bfloat16"}),
+    # the probed-lists ADC + exact-rerank path, pinned (scan_mode="probe"):
+    # measures the ADC shortlist kernels at 1M on real hardware
+    "ivfpq1m_probe": ("IVF_PQ", 1_000_000, 128,
+                      {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                       "train_dtype": "bfloat16", "scan_mode": "probe",
+                       "batch": 256}),
     # memory-lean rerank slab: bf16 halves rerank memory but its ~0.4%
     # rounding reorders near-ties — on clustered data every list member is
     # nearly equidistant, capping recall at 0.71 no matter how wide
@@ -250,7 +258,8 @@ CONFIGS = {
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc",
              "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
-             "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256"}
+             "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256",
+             "ivfpq1m_probe"}
 
 
 def log(*a):
