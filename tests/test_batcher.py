@@ -204,8 +204,11 @@ class TestLinger:
         import time
 
         idx, vecs = make_index(n=64, dim=8)
+        # Generous linger: under a loaded single-core full-suite run, just
+        # starting the second thread wave can take tens of ms — the window
+        # must dwarf scheduler jitter or this flakes.
         b = MicroBatcher(max_batch=64, max_wait_ms=0.5, max_inflight=1,
-                         linger_ms=80.0)
+                         linger_ms=1000.0)
         results = [None] * 16
         errs = []
 
