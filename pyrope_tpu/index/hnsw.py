@@ -75,13 +75,28 @@ def beam_schedule(ef: int, top_k: int) -> tuple[int, int]:
 
 
 def beam_search_body(
-    x, sqnorm, adj0, adj_up, alive, entry, q,
+    x, x_exact, sqnorm, adj0, adj_up, alive, entry, q,
     *, metric: Metric, k: int, pool: int, steps: int, n_upper: int,
-    visited_mode: str = "pool",
+    visited_mode: str = "pool", rerank: bool = False,
 ):
     """Batched beam search body (greedy upper descent + layer-0 beam).
     Module-level so the sharded query-parallel wrapper
     (pyrope_tpu/parallel/sharded_hnsw.py) can shard_map the same program.
+
+    ``x`` is the BEAM slab (any dtype — the hot gathers ride it, so bf16
+    halves the HBM bytes of the gather-bound walk); ``x_exact`` is the fp32
+    slab used to re-score the final pool when ``rerank`` (bf16 rounding is
+    on the order of inter-NN margins — the PQ rerank-slab lesson — so beam
+    membership may be approximate but the returned top-k ordering and
+    scores must come from fp32). Pass the same array for both (and
+    rerank=False) to search fp32 end-to-end.
+
+    Both loops early-exit at a fixed point: the upper descent stops when a
+    step leaves every query's frontier unchanged, the layer-0 beam when no
+    query holds a live unexpanded pool entry (expansion is then a no-op for
+    every query: candidates not admitted to the pool can never re-enter).
+    ``steps``/``UPPER_GREEDY_STEPS`` stay the hard caps, so results are
+    identical to the fixed-count loops.
 
     ``visited_mode``:
       'pool' (default) — candidate dedup by membership in the CURRENT pool.
@@ -96,16 +111,17 @@ def beam_search_body(
         1 GB at 1M x b1024).
       'bitmap' — the original [B, N] visited array (scatter+gather).
     """
-    def fn(x, sqnorm, adj0, adj_up, alive, entry, q):
+    def fn(x, x_exact, sqnorm, adj0, adj_up, alive, entry, q):
         b, d = q.shape
         qf = q.astype(jnp.float32)
         qq = jnp.sum(qf * qf, axis=-1)
+        qb = qf.astype(x.dtype)  # beam-dtype query: bf16 dots ride the MXU
 
         def node_scores(ids):
             """ids [B, C] -> metric scores [B, C]; -inf for id < 0."""
             safe = jnp.maximum(ids, 0)
             vecs = jnp.take(x, safe, axis=0)            # [B, C, D]
-            dots = jnp.einsum("bcd,bd->bc", vecs, qf, preferred_element_type=jnp.float32)
+            dots = jnp.einsum("bcd,bd->bc", vecs, qb, preferred_element_type=jnp.float32)
             if metric == Metric.L2:
                 sq = jnp.take(sqnorm, safe, axis=0)
                 s = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
@@ -136,8 +152,8 @@ def beam_search_body(
         fr_s = node_scores(fr)
         fr_s = fr_s.at[:, 1:].set(-jnp.inf)  # one live copy of the entry
         for lev in range(n_upper - 1, -1, -1):
-            def body(_, carry):
-                fr, fr_s = carry
+            def body(carry):
+                i, fr, fr_s, _ = carry
                 nbrs = jnp.take(adj_up[lev], jnp.maximum(fr, 0), axis=0)
                 nbrs = jnp.where(
                     jnp.isfinite(fr_s)[:, :, None], nbrs, -1
@@ -145,13 +161,19 @@ def beam_search_body(
                 all_ids = jnp.concatenate([fr, nbrs], axis=1)
                 all_s = jnp.concatenate([fr_s, node_scores(nbrs)], axis=1)
                 sid, ss = dedup_sorted(all_ids, all_s)
-                fr_s, pos = jax.lax.top_k(ss, t_beam)
-                fr = jnp.take_along_axis(sid, pos, axis=1)
-                fr = jnp.where(jnp.isfinite(fr_s), fr, -1)
-                return fr, fr_s
+                nfr_s, pos = jax.lax.top_k(ss, t_beam)
+                nfr = jnp.take_along_axis(sid, pos, axis=1)
+                nfr = jnp.where(jnp.isfinite(nfr_s), nfr, -1)
+                # fixed point: a step that moves NO query's frontier can
+                # never move a later one (top_k is deterministic)
+                return i + 1, nfr, nfr_s, jnp.any(nfr != fr)
 
-            fr, fr_s = jax.lax.fori_loop(
-                0, UPPER_GREEDY_STEPS, body, (fr, fr_s)
+            def cond(carry):
+                i, _, _, changed = carry
+                return (i < UPPER_GREEDY_STEPS) & changed
+
+            _, fr, fr_s, _ = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), fr, fr_s, jnp.bool_(True))
             )
 
         # ---- layer-0 batched beam (replaces sequential SearchLayer) ------
@@ -180,8 +202,8 @@ def beam_search_body(
 
         iota_pool = jax.lax.broadcasted_iota(jnp.int32, (1, 1, pool), 2)
 
-        def step(_, carry):
-            pool_ids, pool_s, expanded, visited = carry
+        def step(carry):
+            i, pool_ids, pool_s, expanded, visited = carry
             unexp = jnp.where(
                 (~expanded) & (pool_ids >= 0), pool_s, -jnp.inf
             )
@@ -225,11 +247,35 @@ def beam_search_body(
             pool_ids = jnp.take_along_axis(all_ids, sel, axis=1)
             expanded = jnp.take_along_axis(all_exp, sel, axis=1)
             pool_ids = jnp.where(jnp.isfinite(pool_s), pool_ids, -1)
-            return pool_ids, pool_s, expanded, visited
+            return i + 1, pool_ids, pool_s, expanded, visited
 
-        pool_ids, pool_s, expanded, visited = jax.lax.fori_loop(
-            0, steps, step, (pool_ids, pool_s, expanded, visited)
+        def unfinished(carry):
+            i, pool_ids, _, expanded, _ = carry
+            # fixed point: with no live unexpanded entry anywhere, every
+            # further step expands nothing (evicted nodes cannot re-enter)
+            return (i < steps) & jnp.any((~expanded) & (pool_ids >= 0))
+
+        _, pool_ids, pool_s, expanded, visited = jax.lax.while_loop(
+            unfinished, step,
+            (jnp.int32(0), pool_ids, pool_s, expanded, visited),
         )
+
+        if rerank:
+            # exact fp32 re-score of the surviving pool: beam membership may
+            # carry beam-dtype rounding, the returned ordering/scores not
+            safe = jnp.maximum(pool_ids, 0)
+            vecs = jnp.take(x_exact, safe, axis=0)          # [B, pool, D]
+            dots = jnp.einsum(
+                "bpd,bd->bp", vecs, qf, preferred_element_type=jnp.float32
+            )
+            if metric == Metric.L2:
+                sq = jnp.take(sqnorm, safe, axis=0)
+                exact = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+            else:
+                exact = dots
+            pool_s = jnp.where(
+                (pool_ids >= 0) & jnp.isfinite(pool_s), exact, -jnp.inf
+            )
 
         # final: drop tombstones, take top-k (ref tombstone filter :187-204)
         ok = (pool_ids >= 0) & jnp.take(alive, jnp.maximum(pool_ids, 0), axis=0)
@@ -239,16 +285,17 @@ def beam_search_body(
         ids = jnp.where(jnp.isfinite(vals), ids, -1)
         return vals, ids
 
-    return fn(x, sqnorm, adj0, adj_up, alive, entry, q)
+    return fn(x, x_exact, sqnorm, adj0, adj_up, alive, entry, q)
 
 
 @functools.lru_cache(maxsize=None)
 def _hnsw_search_fn(metric: Metric, k: int, pool: int, steps: int,
-                    n_upper: int, visited_mode: str = "pool"):
+                    n_upper: int, visited_mode: str = "pool",
+                    rerank: bool = False):
     """Jitted batched beam search at layer 0 (+ greedy upper descent)."""
     return jax.jit(functools.partial(
         beam_search_body, metric=metric, k=k, pool=pool, steps=steps,
-        n_upper=n_upper, visited_mode=visited_mode,
+        n_upper=n_upper, visited_mode=visited_mode, rerank=rerank,
     ))
 
 
@@ -265,6 +312,7 @@ class HnswIndex(VectorIndex):
         neighbor_heuristic: bool = True,
         build_mode: str = "auto",
         visited_mode: str = "pool",
+        search_dtype: str = "bfloat16",
     ):
         """``neighbor_heuristic``: diversity-heuristic neighbor selection
         (HNSW paper Alg. 4) instead of the reference's closest-M
@@ -289,6 +337,10 @@ class HnswIndex(VectorIndex):
             raise ValueError(
                 f"visited_mode must be pool|bitmap, got {visited_mode!r}"
             )
+        if search_dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"search_dtype must be bfloat16|float32, got {search_dtype!r}"
+            )
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.m = int(m)
@@ -297,6 +349,10 @@ class HnswIndex(VectorIndex):
         self.neighbor_heuristic = bool(neighbor_heuristic)
         self.build_mode = build_mode
         self.visited_mode = visited_mode
+        # 'bfloat16' (default): the beam walks a bf16 slab (the gathers are
+        # the wall — half the bytes) and the final pool is re-scored fp32;
+        # 'float32' searches one fp32 slab end-to-end (no rerank).
+        self.search_dtype = search_dtype
         self._ml = 1.0 / math.log(self.m)  # λ = 1/ln(m), ref :351-357
         self._rng = np.random.default_rng(seed)
 
@@ -634,8 +690,16 @@ class HnswIndex(VectorIndex):
                 up[i, : self._count] = a[: self._count]
         else:
             up = np.full((1, npad, self.m), -1, np.int32)  # dummy, unused
+        x_exact = jnp.asarray(x)
         self._dev = {
-            "x": jnp.asarray(x),
+            # beam slab: bf16 halves the gather bytes of the walk; the fp32
+            # slab stays resident for the final-pool rerank (1.5x memory,
+            # same tradeoff as the IVF-PQ fp32 refine slab)
+            "x": (
+                x_exact.astype(jnp.bfloat16)
+                if self.search_dtype == "bfloat16" else x_exact
+            ),
+            "x_exact": x_exact,
             "sqnorm": jnp.asarray(sq),
             "adj0": jnp.asarray(adj0),
             "adj_up": jnp.asarray(up),
@@ -660,10 +724,11 @@ class HnswIndex(VectorIndex):
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
         fn = _hnsw_search_fn(search_metric, top_k, pool, steps,
-                             dev["n_upper"], self.visited_mode)
+                             dev["n_upper"], self.visited_mode,
+                             self.search_dtype == "bfloat16")
         return fn(
-            dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
-            device_i32(self._entry), q,
+            dev["x"], dev["x_exact"], dev["sqnorm"], dev["adj0"],
+            dev["adj_up"], dev["alive"], device_i32(self._entry), q,
         )
 
     def resolve_rows(self, rows: np.ndarray) -> list[list[str]]:
@@ -700,10 +765,12 @@ class HnswIndex(VectorIndex):
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
         fn = _hnsw_search_fn(search_metric, top_k, pool, steps,
-                             dev["n_upper"], self.visited_mode)
+                             dev["n_upper"], self.visited_mode,
+                             self.search_dtype == "bfloat16")
         vals, rows = fn(
-            dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
-            device_i32(self._entry), jnp.asarray(qp),
+            dev["x"], dev["x_exact"], dev["sqnorm"], dev["adj0"],
+            dev["adj_up"], dev["alive"], device_i32(self._entry),
+            jnp.asarray(qp),
         )
         vals = np.asarray(vals)[:b]
         rows = np.asarray(rows)[:b]

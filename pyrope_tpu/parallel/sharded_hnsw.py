@@ -38,20 +38,20 @@ from pyrope_tpu.utils.shapes import round_up
 
 def make_sharded_hnsw_search(
     mesh: Mesh, metric: Metric, k: int, pool: int, steps: int, n_upper: int,
-    axis: str = DATA_AXIS,
+    axis: str = DATA_AXIS, rerank: bool = False,
 ):
     """shard_map over the query batch: graph arrays replicated, q sharded
     over ``axis``, per-device beam, outputs sharded (no collectives)."""
     body = functools.partial(
         beam_search_body, metric=metric, k=k, pool=pool, steps=steps,
-        n_upper=n_upper,
+        n_upper=n_upper, rerank=rerank,
     )
     fn = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(
-            P(None, None), P(None), P(None, None), P(None, None, None),
-            P(None), P(),
+            P(None, None), P(None, None), P(None), P(None, None),
+            P(None, None, None), P(None), P(),
             P(axis, None),                        # queries sharded
         ),
         out_specs=(P(axis, None), P(axis, None)),
@@ -76,6 +76,7 @@ class ShardedHnswIndex(HnswIndex):
         ef_search: int = 10,
         seed: int = 42,
         neighbor_heuristic: bool = True,
+        search_dtype: str = "bfloat16",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = self.mesh.devices.size
@@ -83,6 +84,7 @@ class ShardedHnswIndex(HnswIndex):
             dim, metric, m=m, ef_construction=ef_construction,
             ef_search=ef_search, seed=seed,
             neighbor_heuristic=neighbor_heuristic,
+            search_dtype=search_dtype,
         )
         self._fn_cache: dict = {}
 
@@ -92,7 +94,7 @@ class ShardedHnswIndex(HnswIndex):
         if dev.get("_mesh_replicated"):
             return dev
         rep = NamedSharding(self.mesh, P())
-        for key in ("x", "sqnorm", "adj0", "adj_up", "alive"):
+        for key in ("x", "x_exact", "sqnorm", "adj0", "adj_up", "alive"):
             dev[key] = jax.device_put(dev[key], rep)
         dev["_mesh_replicated"] = True
         return dev
@@ -113,7 +115,8 @@ class ShardedHnswIndex(HnswIndex):
         pool, steps = beam_schedule(ef, top_k)
         dev = self._replicated(self._sync())
         axis = self.mesh.axis_names[0]
-        key = (top_k, pool, steps, dev["n_upper"], self.metric, axis)
+        rerank = self.search_dtype == "bfloat16"
+        key = (top_k, pool, steps, dev["n_upper"], self.metric, axis, rerank)
         fn = self._fn_cache.get(key)
         if fn is None:
             search_metric = (
@@ -121,11 +124,11 @@ class ShardedHnswIndex(HnswIndex):
             )
             fn = self._fn_cache[key] = make_sharded_hnsw_search(
                 self.mesh, search_metric, top_k, pool, steps, dev["n_upper"],
-                axis=axis,
+                axis=axis, rerank=rerank,
             )
         return fn(
-            dev["x"], dev["sqnorm"], dev["adj0"], dev["adj_up"], dev["alive"],
-            device_i32(self._entry), q,
+            dev["x"], dev["x_exact"], dev["sqnorm"], dev["adj0"],
+            dev["adj_up"], dev["alive"], device_i32(self._entry), q,
         )
 
     def search_batch(

@@ -40,6 +40,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
             neighbor_heuristic=p.neighbor_heuristic,
+            search_dtype=p.search_dtype,
         )
     else:
         head = FlatIndex(config.dim, config.metric)
@@ -48,6 +49,7 @@ def create_index(config: IndexConfig) -> DeltaIndex:
             config.dim, config.metric,
             m=p.m, ef_construction=p.ef_construction, ef_search=p.ef_search,
             neighbor_heuristic=p.neighbor_heuristic, build_mode=p.build_mode,
+            search_dtype=p.search_dtype,
         )
     elif algo in ("IVF_PQ", "IVFPQ"):
         tail = IvfPqIndex(

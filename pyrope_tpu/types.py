@@ -91,6 +91,7 @@ class IndexParams:
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
     neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
     build_mode: str = "auto"    # HNSW bulk build: auto | incremental | bootstrap
+    search_dtype: str = "bfloat16"  # HNSW beam slab: bfloat16 (+fp32 rerank) | float32
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":
@@ -141,6 +142,16 @@ class IndexParams:
                         f"build_mode must be auto|incremental|bootstrap, got {val!r}"
                     )
                 p.build_mode = bm
+            elif kk in ("search_dtype", "searchdtype"):
+                sd = str(val).lower()
+                if sd in ("bf16", "bfloat16"):
+                    p.search_dtype = "bfloat16"
+                elif sd in ("fp32", "float32"):
+                    p.search_dtype = "float32"
+                else:
+                    raise ValueError(
+                        f"search_dtype must be bfloat16|float32, got {val!r}"
+                    )
             else:
                 raise ValueError(f"unknown index param {key!r}")
         return p

@@ -236,3 +236,72 @@ def test_visited_pool_matches_bitmap_exactly():
                 assert [h.id for h in ra[i]] == [h.id for h in rb[i]], (ef, i)
                 assert np.allclose([h.score for h in ra[i]],
                                    [h.score for h in rb[i]])
+
+
+def test_bf16_beam_returns_fp32_exact_scores():
+    """Default search_dtype walks a bf16 slab but the returned scores must
+    come from the fp32 rerank of the final pool — bit-exact against host
+    fp32 scoring of the same rows (the PQ fp32-refine-slab convention)."""
+    idx, base = built(n=400)
+    assert idx.search_dtype == "bfloat16"
+    q = synthetic(8, 16, seed=9)
+    res = idx.search_batch(q, 5, SearchOptions(ef_search=64))
+    for qi, hits in enumerate(res):
+        for h in hits:
+            row = idx._id_to_row[h.id]
+            exact = float(idx._scores(q[qi], np.array([row]))[0])
+            assert h.score == pytest.approx(exact, rel=1e-6, abs=1e-5), (
+                qi, h.id)
+
+
+def test_bf16_matches_fp32_search():
+    """bf16 beam membership equals the fp32 walk on data whose NN margins
+    dwarf bf16 rounding (small n, wide ef); scores agree to fp32."""
+    base = synthetic(600, 16)
+    ids = [str(i) for i in range(len(base))]
+    a = HnswIndex(16, "L2", m=8, ef_construction=100, search_dtype="bfloat16")
+    b = HnswIndex(16, "L2", m=8, ef_construction=100, search_dtype="float32")
+    a.add_batch(ids, base)
+    b.add_batch(ids, base)
+    q = synthetic(32, 16, seed=3)
+    ra = a.search_batch(q, 10, SearchOptions(ef_search=80))
+    rb = b.search_batch(q, 10, SearchOptions(ef_search=80))
+    same = sum(
+        [h.id for h in ra[i]] == [h.id for h in rb[i]] for i in range(len(q))
+    )
+    assert same >= int(0.9 * len(q)), same
+    for i in range(len(q)):
+        for ha, hb in zip(ra[i], rb[i]):
+            if ha.id == hb.id:
+                assert ha.score == pytest.approx(hb.score, rel=1e-5)
+
+
+def test_search_dtype_validation():
+    with pytest.raises(ValueError):
+        HnswIndex(16, "L2", search_dtype="fp16")
+
+
+def test_early_exit_is_a_fixed_point():
+    """The while_loop early exit must land on the SAME results as running
+    the loops to their full static caps (the cap is beam_schedule's steps;
+    here we hand the body double the budget and expect identical ids)."""
+    import jax.numpy as jnp
+
+    from pyrope_tpu.index.hnsw import _hnsw_search_fn, beam_schedule
+    from pyrope_tpu.ops.scalars import device_i32
+
+    idx, base = built(n=800)
+    q = synthetic(16, 16, seed=11)
+    pool, steps = beam_schedule(48, 10)
+    dev = idx._sync()
+    from pyrope_tpu.types import Metric as M
+    fn1 = _hnsw_search_fn(M.L2, 10, pool, steps, dev["n_upper"], "pool", True)
+    fn2 = _hnsw_search_fn(M.L2, 10, pool, steps * 2, dev["n_upper"], "pool",
+                          True)
+    args = (dev["x"], dev["x_exact"], dev["sqnorm"], dev["adj0"],
+            dev["adj_up"], dev["alive"], device_i32(idx._entry),
+            jnp.asarray(q))
+    v1, r1 = fn1(*args)
+    v2, r2 = fn2(*args)
+    assert np.array_equal(np.asarray(r1), np.asarray(r2))
+    assert np.allclose(np.asarray(v1), np.asarray(v2))
