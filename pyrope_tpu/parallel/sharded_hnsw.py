@@ -76,7 +76,7 @@ class ShardedHnswIndex(HnswIndex):
         ef_search: int = 10,
         seed: int = 42,
         neighbor_heuristic: bool = True,
-        search_dtype: str = "bfloat16",
+        search_dtype: str = "float32",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
         self._ndev = self.mesh.devices.size

@@ -91,7 +91,7 @@ class IndexParams:
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
     neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
     build_mode: str = "auto"    # HNSW bulk build: auto | incremental | bootstrap
-    search_dtype: str = "bfloat16"  # HNSW beam slab: bfloat16 (+fp32 rerank) | float32
+    search_dtype: str = "float32"  # HNSW beam slab: float32 | bfloat16 (+fp32 rerank)
 
     @classmethod
     def from_dict(cls, d: "dict[str, Any] | None") -> "IndexParams":

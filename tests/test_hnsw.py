@@ -239,10 +239,10 @@ def test_visited_pool_matches_bitmap_exactly():
 
 
 def test_bf16_beam_returns_fp32_exact_scores():
-    """Default search_dtype walks a bf16 slab but the returned scores must
+    """search_dtype=bfloat16 walks a bf16 slab but the returned scores must
     come from the fp32 rerank of the final pool — bit-exact against host
     fp32 scoring of the same rows (the PQ fp32-refine-slab convention)."""
-    idx, base = built(n=400)
+    idx, base = built(n=400, search_dtype="bfloat16")
     assert idx.search_dtype == "bfloat16"
     q = synthetic(8, 16, seed=9)
     res = idx.search_batch(q, 5, SearchOptions(ef_search=64))
