@@ -543,7 +543,15 @@ def run_config(
 
     opts = pt.SearchOptions(**opt_kwargs)
     n_slices = max(len(queries) // batch, 1)
-    q_dev = jnp.asarray(queries[: n_slices * batch].reshape(n_slices, batch, dim))
+    # Pre-slice the device-resident query batches ONCE. A per-iteration
+    # q_dev[i % n_slices] dispatches a separate slice op ahead of every
+    # search — measured 139k -> 18k QPS on the same index in the same
+    # minute (delta_hnsw_pq tail, b64): ~3 ms/iter of pure harness
+    # dispatch overhead that understated every committed QPS row and
+    # masqueraded as an index regression when the tunnel was slow.
+    q_dev = [
+        jnp.asarray(queries[i * batch : (i + 1) * batch]) for i in range(n_slices)
+    ]
 
     def fetch(out):
         # NOTE: on the tunneled axon backend jax.block_until_ready returns
