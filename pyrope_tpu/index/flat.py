@@ -143,7 +143,13 @@ def sq8_quantize(vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarra
 class FlatIndex(VectorIndex):
     """Exact scan index with tombstone deletes and optional SQ8 storage."""
 
-    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+    @property
+    def host_write_cheap(self) -> bool:  # see IVectorIndex
+        # a single add is microseconds ONLY while it fits the current
+        # capacity bucket: crossing one reallocs+copies the whole host slab
+        # (O(n), ~512 MB at 1M x 128), which must not run inline on the
+        # serving event loop — send the growth write to the thread pool
+        return self._count < self._cap
 
     def __init__(
         self,

@@ -265,8 +265,13 @@ def beam_search_body(
             # carry beam-dtype rounding, the returned ordering/scores not
             safe = jnp.maximum(pool_ids, 0)
             vecs = jnp.take(x_exact, safe, axis=0)          # [B, pool, D]
+            # HIGHEST: on TPU the default matmul runs fp32 operands in bf16
+            # passes — without it the rerank reintroduces exactly the
+            # rounding it exists to remove (CLAUDE.md exact-path invariant)
             dots = jnp.einsum(
-                "bpd,bd->bp", vecs, qf, preferred_element_type=jnp.float32
+                "bpd,bd->bp", vecs, qf,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             if metric == Metric.L2:
                 sq = jnp.take(sqnorm, safe, axis=0)

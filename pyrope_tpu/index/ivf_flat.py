@@ -338,7 +338,10 @@ def _ivf_search_fn(metric: Metric, k: int, nprobe: int, l_pad: int, compute: str
 
 
 class IvfFlatIndex(VectorIndex, CentroidsProvider):
-    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+    @property
+    def host_write_cheap(self) -> bool:  # see IVectorIndex
+        # writes land in the Flat buffer; cheap while it needs no realloc
+        return self._buffer.host_write_cheap
 
     def __init__(
         self,

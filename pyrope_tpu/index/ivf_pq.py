@@ -283,7 +283,10 @@ def _ivfpq_refine_search_fn(
 
 
 class IvfPqIndex(VectorIndex, CentroidsProvider):
-    host_write_cheap = True  # buffer/slab writes; see IVectorIndex
+    @property
+    def host_write_cheap(self) -> bool:  # see IVectorIndex
+        # writes land in the Flat buffer; cheap while it needs no realloc
+        return self._buffer.host_write_cheap
 
     def __init__(
         self,

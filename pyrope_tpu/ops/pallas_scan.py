@@ -368,7 +368,6 @@ def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
     mask = alive_ref[:][None, :] & (member > 0.5)
 
     base = n_idx * row_tile
-    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     scores = jnp.where(mask, scores, NEG_INF)
     _merge_tile(run_v, run_i, scores, base, k=k)
 
@@ -534,7 +533,6 @@ def _ivf_scan_windowed_kernel(
     mask = alive_ref[:][None, :] & (member > 0.5)
 
     base = n_idx * row_tile
-    rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     scores = jnp.where(mask, scores, NEG_INF)
     _merge_tile(run_v, run_i, scores, base, k=k)
 

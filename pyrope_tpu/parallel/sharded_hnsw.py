@@ -94,7 +94,13 @@ class ShardedHnswIndex(HnswIndex):
         if dev.get("_mesh_replicated"):
             return dev
         rep = NamedSharding(self.mesh, P())
+        # in fp32 mode x_exact IS x — replicate the slab once and alias,
+        # not twice (the vector slab dominates: 512 MB at 1M x 128 fp32)
+        x_aliases_exact = dev["x_exact"] is dev["x"]
         for key in ("x", "x_exact", "sqnorm", "adj0", "adj_up", "alive"):
+            if key == "x_exact" and x_aliases_exact:
+                dev[key] = dev["x"]
+                continue
             dev[key] = jax.device_put(dev[key], rep)
         dev["_mesh_replicated"] = True
         return dev

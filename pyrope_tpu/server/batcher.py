@@ -74,7 +74,11 @@ class MicroBatcher:
         dispatches without it, so avg_batch locks at ~half the offered
         concurrency (measured: 32 of 64). The linger gives the finishing
         cohort one response-turnaround to merge in. Use on high-RTT links
-        (tunnel ~30 ms); keep 0 when co-located — it taxes every batch."""
+        (tunnel ~30 ms); keep 0 when co-located — it taxes every batch.
+        The hold only runs when a slot was actually acquired: after the
+        gate-timeout escape hatch (wedged device) or with no gate at all
+        there is no device-pressure signal, and lingering would only delay
+        the emergency dispatch / tax every batch."""
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1000.0
         self.linger_s = linger_ms / 1000.0
@@ -136,9 +140,13 @@ class MicroBatcher:
                 self._gate.acquire(timeout=self.gate_timeout_s)
                 if self._gate is not None else False
             )
-            if self.linger_s and not group.closed:
-                # post-acquire hold: let the cohort that just got its
-                # responses re-send and join (early-exit when full)
+            if self.linger_s and holds_slot and not group.closed:
+                # POST-ACQUIRE hold: let the cohort that just got its
+                # responses re-send and join (early-exit when full).
+                # Gated on holds_slot: after the gate-timeout escape hatch
+                # (wedged device) or in ungated configs there was no
+                # acquire, and lingering would only delay the emergency
+                # dispatch / tax every batch
                 group.full.wait(self.linger_s)
             try:
                 with self._lock:

@@ -285,9 +285,18 @@ class RespServer:
             options=req.options,
         )
         if r is None:
-            r = await asyncio.get_running_loop().run_in_executor(
-                None, self.engine.search_resume, cont
-            )
+            try:
+                r = await asyncio.get_running_loop().run_in_executor(
+                    None, self.engine.search_resume, cont
+                )
+            except asyncio.CancelledError:
+                # a cancel before the executor starts the fn means
+                # search_resume (whose finally owns the release) never
+                # runs — free the tenant lease here; release() is
+                # idempotent, so a post-start cancel double-release is safe
+                if cont.lease is not None:
+                    cont.lease.release()
+                raise
         if not r.ok:
             return encode_error(f"{r.error_code} {r.error_message}")
         hits = []

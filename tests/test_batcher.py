@@ -223,7 +223,7 @@ class TestLinger:
                   for i in range(8, 16)]
         for t in first:
             t.start()
-        time.sleep(0.02)  # inside the 80 ms linger window
+        time.sleep(0.02)  # well inside the 1000 ms linger window
         for t in second:
             t.start()
         for t in first + second:
