@@ -256,3 +256,20 @@ class TestLinger:
         assert took < 2.0, took  # early exit, not the 5 s linger
         assert all(r is not None for r in results)
         assert b.stats.max_batch_seen == 8
+
+
+class TestLingerGating:
+    def test_no_linger_without_gate(self):
+        """Ungated configs (max_inflight=0) must not pay the linger tax:
+        there is no device-pressure signal, so the post-acquire hold is
+        skipped and a lone query dispatches after max_wait alone."""
+        import time
+
+        idx, vecs = make_index(n=8, dim=8)
+        b = MicroBatcher(max_batch=8, max_wait_ms=5.0, max_inflight=0,
+                         linger_ms=5000.0)
+        t0 = time.perf_counter()
+        r = b.search(idx, vecs[0], 3)
+        took = time.perf_counter() - t0
+        assert r, "search returned no hits"
+        assert took < 2.0, f"ungated search served out the linger: {took}"

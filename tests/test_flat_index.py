@@ -273,3 +273,35 @@ class TestConcurrentMutation:
                 q = idx._vecs[idx._id_to_row[f"w{w}_{i}"]]
                 hits = idx.search(q, 1)
                 assert hits and hits[0].id == f"w{w}_{i}"
+
+
+class TestHostWriteCheap:
+    def test_false_at_capacity_edge(self):
+        """host_write_cheap must flip False exactly when the next add
+        would cross a capacity bucket (the O(n) slab realloc must not be
+        classed as a microseconds write — review fix ce8e14f)."""
+        import numpy as np
+        import pyrope_tpu as pt
+
+        idx = pt.FlatIndex(4, "L2", min_capacity=4)
+        for i in range(3):
+            assert idx.host_write_cheap
+            idx.add(str(i), np.ones(4, np.float32) * i)
+        assert idx.host_write_cheap  # 3 rows in a 4-cap bucket
+        idx.add("3", np.ones(4, np.float32) * 3)
+        assert not idx.host_write_cheap  # full: next add reallocs
+        idx.add("4", np.ones(4, np.float32) * 4)  # grows to the next bucket
+        assert idx.host_write_cheap
+        assert idx.get_stats().count == 5
+
+    def test_delta_forwards_head(self):
+        import numpy as np
+        import pyrope_tpu as pt
+
+        d = pt.DeltaIndex(
+            pt.FlatIndex(4, "L2", min_capacity=4),
+            pt.IvfFlatIndex(4, "L2", nlist=2),
+        )
+        for i in range(4):
+            d.add(str(i), np.ones(4, np.float32) * i)
+        assert not d.host_write_cheap  # head bucket full
