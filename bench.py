@@ -577,6 +577,10 @@ def run_config(
     fetch(outs[-1])
     total_s = time.perf_counter() - t0
     qps = iters * batch / total_s
+    # pipelined per-batch time: the tunnel-independent kernel+dispatch
+    # figure (the latency column below is dominated by ~30 ms of RTT that
+    # a co-located deployment never pays)
+    device_ms_per_batch = round(total_s / iters * 1e3, 4)
 
     # Latency: per-batch blocking round trip incl. result fetch (on the
     # tunneled dev TPU this is dominated by ~30 ms network RTT; co-located
@@ -627,6 +631,7 @@ def run_config(
         "batch": batch,
         "topk": topk,
         "qps": round(qps, 1),
+        "device_ms_per_batch": device_ms_per_batch,
         "recall_at_10": round(recall, 4),
         "recall_ref": recall_ref,
         "n_oracle": n_oracle if with_oracle else 0,
