@@ -102,6 +102,25 @@ BASELINES = {
     "ivfpq1m_adc": None,
     # same int8 workload as sq8_100k (ref P10-14: 461.4 QPS), serving batch
     "sq8_100k_b1024": 461.4,
+    "flat100k_ip_b1024": 69.6,  # ref's 100k flat row is the closest analog
+    "flat1m_pallas_k100": None,
+    # 10x past the reference's practical wall (its 1M run stalled at 93%
+    # load and published nothing; docs/benchmarks/20260118_benchmark_500k_ivf.md)
+    "flat10m_device_b1024": None,
+    "flat10m_device_fp32_b1024": None,
+}
+
+# Device-resident scale configs: the corpus is GENERATED IN HBM (seeded
+# jax.random) and served by DeviceFlatIndex — no host slab, no tunnel
+# upload. 10M x 128 fp32 is 5.1 GB: the host path would pay minutes of
+# first-touch page faults plus minutes of tunnel upload before the first
+# query; the device path generates it in one kernel. Ground truth comes
+# from ops/topk.chunked_exact_topk (XLA fp32-HIGHEST, independent of the
+# Pallas kernel under test).
+DEVICE_CONFIGS = {
+    # name: (n, dim, slab_dtype, batch)
+    "flat10m_device_b1024": (10_000_000, 128, "bf16", 1024),
+    "flat10m_device_fp32_b1024": (10_000_000, 128, "fp32", 1024),
 }
 
 CONFIGS = {
@@ -242,6 +261,16 @@ CONFIGS = {
     # SQ8 at the serving batch (ref headline: 461.4 QPS after int8 kernels,
     # P10-14) — the committed b64 row is dispatch-bound
     "sq8_100k_b1024": ("FLAT_SQ8", 100_000, 128, {"batch": 1024}),
+    # inner-product at the serving batch: the third first-class metric
+    # (L2/COSINE rows exist; ref VectorMath.cs DotProduct :8-37). Exact
+    # scan, so recall must print 1.0
+    "flat100k_ip_b1024": ("FLAT_IP", 100_000, 128, {"batch": 1024}),
+    # wide-k on hardware: k=100 routes the fused kernel's merge to the
+    # extract-max path (_merge_tile_wide, k > RANK_MERGE_MAX_K=32) which no
+    # other committed row exercises on the real chip; k=100 is also the
+    # reference's RoundK cache-bucket ceiling (Model/QueryKey.cs:52-60)
+    "flat1m_pallas_k100": ("FLAT_PALLAS", 1_000_000, 128,
+                           {"batch": 256, "topk": 100}),
     # HNSW 1M at a serving batch: the b64 row is utilization-bound (small
     # per-iteration gathers), not algorithmically bound
     "hnsw1m_clustered_b256": ("HNSW", 1_000_000, 128,
@@ -293,6 +322,10 @@ def build_index(algo: str, dim: int, kwargs: dict):
         # cosine: normalize-at-insert + IP scan (ref: VectorMath.cs:102-125,
         # HnswVectorIndex.cs:69-85 normalize-at-insert convention)
         return pt.FlatIndex(dim, "COSINE")
+    if algo == "FLAT_IP":
+        # inner-product metric end-to-end (ref: VectorMath.cs DotProduct
+        # :8-37; score = dot, BruteForceVectorIndex.cs:350-356)
+        return pt.FlatIndex(dim, "IP")
     if algo == "FLAT_APPROX":
         # bf16 slab + PartialReduce top-k: the full-throughput TPU scan
         return pt.FlatIndex(dim, "L2", storage="bf16", selection="approx:0.95")
@@ -453,6 +486,155 @@ def hnsw_e2e_oracle(base, kwargs, gt_q, truth, topk, metric="L2"):
     return round(recall_at_k(rows, truth, topk), 4)
 
 
+def measure_device_search(idx, q_dev, topk, opts, duration_s, batch):
+    """Timed search section shared by run_config and the device-scale
+    runner: pipelined-throughput QPS + 200-sample blocking latency."""
+    from pyrope_tpu.utils.stats import LatencySummary
+
+    n_slices = len(q_dev)
+
+    def fetch(out):
+        # NOTE: on the tunneled axon backend jax.block_until_ready returns
+        # before remote execution finishes; only a D2H fetch is a true
+        # completion barrier. Single-chip execution is in-order, so fetching
+        # the LAST result fences every earlier dispatch.
+        return np.asarray(out[0])
+
+    # warmup / compile
+    fetch(idx.device_search(q_dev[0], topk, opts))
+
+    # Throughput: pipelined async dispatch, one completion fence at the end.
+    # This is the TPU analog of the reference's 4 concurrent client workers
+    # (ref Program.cs :344-396) — outstanding requests keep the device busy.
+    calib_iters = 32
+    t0 = time.perf_counter()
+    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(calib_iters)]
+    fetch(outs[-1])
+    per_iter = (time.perf_counter() - t0) / calib_iters
+    iters = max(calib_iters, min(int(duration_s / per_iter), 20000))
+    t0 = time.perf_counter()
+    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(iters)]
+    fetch(outs[-1])
+    total_s = time.perf_counter() - t0
+    qps = iters * batch / total_s
+    # pipelined per-batch time: the tunnel-independent kernel+dispatch
+    # figure (the latency column below is dominated by ~30 ms of RTT that
+    # a co-located deployment never pays)
+    device_ms_per_batch = round(total_s / iters * 1e3, 4)
+
+    # Latency: per-batch blocking round trip incl. result fetch (on the
+    # tunneled dev TPU this is dominated by ~30 ms network RTT; co-located
+    # serving pays PCIe microseconds instead). 200 samples: with 30 draws
+    # p99 degenerated to max, pure tunnel noise (VERDICT r2 weak #6).
+    lat_ms = []
+    for i in range(200):
+        t0 = time.perf_counter()
+        fetch(idx.device_search(q_dev[i % n_slices], topk, opts))
+        lat_ms.append((time.perf_counter() - t0) * 1e3)
+    return qps, device_ms_per_batch, LatencySummary.from_samples(lat_ms)
+
+
+def run_device_config(
+    name: str, topk: int, duration_s: float, index_cache: dict | None = None,
+) -> dict:
+    """Device-resident scale row (see DEVICE_CONFIGS): generate the corpus
+    in HBM, serve it with DeviceFlatIndex, verify against the chunked XLA
+    exact ground truth. No host slab and no reference oracle exist at this
+    scale — recall_at_10 IS measured (vs chunked_exact_topk over the fp32
+    corpus, 256 queries), recall_ref stays null."""
+    import jax
+    import jax.numpy as jnp
+
+    import pyrope_tpu as pt
+    from pyrope_tpu.ops.topk import chunked_exact_topk
+    from pyrope_tpu.utils.datasets import (
+        id_lists_to_rows,
+        recall_at_k,
+        synthetic_queries,
+    )
+    from pyrope_tpu.utils.shapes import round_up
+
+    n, dim, slab_dtype, batch = DEVICE_CONFIGS[name]
+    log(f"[{name}] device-resident: n={n} dim={dim} slab={slab_dtype} batch={batch}")
+    _warm_backend()
+
+    npad = round_up(n, 4096)
+    cache = index_cache if index_cache is not None else {}
+    gen_key = ("devgen", n, dim)
+    if gen_key in cache:
+        xf, sq_f, alive_f, truth_v, truth_i, load_s = cache[gen_key]
+    else:
+        # generate PADDED directly so DeviceFlatIndex never pays a 5 GB
+        # device-side jnp.pad copy (it skips padding when npad == N)
+        t0 = time.perf_counter()
+        xf = jax.random.uniform(jax.random.PRNGKey(42), (npad, dim), jnp.float32)
+        np.asarray(xf[0, :1])  # D2H fetch: the only true fence on axon
+        load_s = time.perf_counter() - t0
+        log(f"[{name}] generated {npad}x{dim} fp32 in HBM: {load_s:.2f}s "
+            f"({4*npad*dim/2**30:.2f} GiB)")
+        sq_f = jnp.einsum("nd,nd->n", xf, xf,
+                          precision=jax.lax.Precision.HIGHEST)
+        alive_f = jax.lax.broadcasted_iota(jnp.int32, (npad, 1), 0)[:, 0] < n
+        truth_v = truth_i = None
+        cache[gen_key] = (xf, sq_f, alive_f, truth_v, truth_i, load_s)
+
+    t0 = time.perf_counter()
+    slab = xf if slab_dtype == "fp32" else xf.astype(jnp.bfloat16)
+    idx = pt.DeviceFlatIndex(slab, "L2", n_valid=n, selection="pallas")
+    np.asarray(idx._dev["sqnorm"][:1])  # fence construction for build_s
+    build_s = time.perf_counter() - t0
+    log(f"[{name}] index built (sqnorm+mask): {build_s:.2f}s")
+
+    queries = synthetic_queries(batch, dim)
+    q_dev = [jnp.asarray(queries)]
+    opts = pt.SearchOptions()
+    qps, device_ms_per_batch, summary = measure_device_search(
+        idx, q_dev, topk, opts, duration_s, batch
+    )
+
+    # ground truth from the fp32 corpus (shared across the bf16/fp32 rows):
+    # chunked XLA fp32-HIGHEST scan, independent of the Pallas kernel
+    n_truth = min(batch, 256)  # [256, 1M-chunk] fp32 transient = 1 GiB
+    if truth_v is None:
+        log(f"[{name}] computing chunked exact ground truth ({n_truth} queries)...")
+        truth_v, truth_i = chunked_exact_topk(
+            xf, sq_f, alive_f, q_dev[0][:n_truth], topk, "L2"
+        )
+        cache[gen_key] = (xf, sq_f, alive_f, truth_v, truth_i, load_s)
+    vals, rows = idx.device_search(q_dev[0][:n_truth], topk, opts)
+    id_lists = idx.resolve_rows(np.asarray(rows))
+    recall = recall_at_k(id_lists_to_rows(id_lists), truth_i[:, :topk], topk)
+
+    out = {
+        "config": name,
+        "algo": "FLAT_DEVICE",
+        "n_base": n,
+        "dim": dim,
+        "batch": batch,
+        "topk": topk,
+        "qps": round(qps, 1),
+        "device_ms_per_batch": device_ms_per_batch,
+        "recall_at_10": round(recall, 4),
+        "recall_ref": None,
+        "n_oracle": 0,
+        "n_truth": n_truth,
+        "load_s": round(load_s, 3),
+        "build_s": round(build_s, 3),
+        "latency_batch_ms": summary.to_dict(),
+        "baseline_qps": BASELINES.get(name),
+        "scan_path": idx.describe_scan(batch),
+        "memory_bytes": idx.memory_bytes(),
+        "note": (
+            "device-resident corpus (no host slab; generated in HBM, "
+            "seed 42); recall vs chunked XLA fp32 exact ground truth over "
+            f"{n_truth} queries — 10x the reference's 1M practical wall"
+        ),
+    }
+    log(f"[{name}] QPS={qps:,.1f} recall@{topk}={recall:.4f} "
+        f"p50={summary.p50_ms:.2f}ms p99={summary.p99_ms:.2f}ms")
+    return out
+
+
 def run_config(
     name: str, batch: int, topk: int, n_queries: int, duration_s: float,
     base_fvecs: str | None = None, query_fvecs: str | None = None,
@@ -467,15 +649,15 @@ def run_config(
         synthetic,
         synthetic_queries,
     )
-    from pyrope_tpu.utils.stats import LatencySummary
 
     algo, n_base, dim, kwargs = CONFIGS[name]
     kwargs = dict(kwargs)
     batch = kwargs.pop("batch", batch)  # per-config device-batch override
+    topk = kwargs.pop("topk", topk)     # per-config k (e.g. the wide-k row)
     # per-config SearchOptions (e.g. the recall-matched Delta tail nprobe);
     # merged into the oracle's view so both sides run the same knobs
     opt_kwargs = kwargs.pop("opts", {})
-    metric = "COSINE" if algo == "FLAT_COS" else "L2"
+    metric = {"FLAT_COS": "COSINE", "FLAT_IP": "IP"}.get(algo, "L2")
 
     if base_fvecs:  # real dataset (e.g. SIFT1M .fvecs) replaces synthetic
         base = read_fvecs(base_fvecs, limit=base_limit or n_base)
@@ -553,45 +735,9 @@ def run_config(
         jnp.asarray(queries[i * batch : (i + 1) * batch]) for i in range(n_slices)
     ]
 
-    def fetch(out):
-        # NOTE: on the tunneled axon backend jax.block_until_ready returns
-        # before remote execution finishes; only a D2H fetch is a true
-        # completion barrier. Single-chip execution is in-order, so fetching
-        # the LAST result fences every earlier dispatch.
-        return np.asarray(out[0])
-
-    # warmup / compile
-    fetch(idx.device_search(q_dev[0], topk, opts))
-
-    # Throughput: pipelined async dispatch, one completion fence at the end.
-    # This is the TPU analog of the reference's 4 concurrent client workers
-    # (ref Program.cs :344-396) — outstanding requests keep the device busy.
-    calib_iters = 32
-    t0 = time.perf_counter()
-    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(calib_iters)]
-    fetch(outs[-1])
-    per_iter = (time.perf_counter() - t0) / calib_iters
-    iters = max(calib_iters, min(int(duration_s / per_iter), 20000))
-    t0 = time.perf_counter()
-    outs = [idx.device_search(q_dev[i % n_slices], topk, opts) for i in range(iters)]
-    fetch(outs[-1])
-    total_s = time.perf_counter() - t0
-    qps = iters * batch / total_s
-    # pipelined per-batch time: the tunnel-independent kernel+dispatch
-    # figure (the latency column below is dominated by ~30 ms of RTT that
-    # a co-located deployment never pays)
-    device_ms_per_batch = round(total_s / iters * 1e3, 4)
-
-    # Latency: per-batch blocking round trip incl. result fetch (on the
-    # tunneled dev TPU this is dominated by ~30 ms network RTT; co-located
-    # serving pays PCIe microseconds instead). 200 samples: with 30 draws
-    # p99 degenerated to max, pure tunnel noise (VERDICT r2 weak #6).
-    lat_ms = []
-    for i in range(200):
-        t0 = time.perf_counter()
-        fetch(idx.device_search(q_dev[i % n_slices], topk, opts))
-        lat_ms.append((time.perf_counter() - t0) * 1e3)
-    summary = LatencySummary.from_samples(lat_ms)
+    qps, device_ms_per_batch, summary = measure_device_search(
+        idx, q_dev, topk, opts, duration_s, batch
+    )
 
     gt_q = queries[:batch]
     truth = ground_truth(base, gt_q, topk, metric)
@@ -663,7 +809,8 @@ def main() -> None:
     # 0.997 recall), but each dispatch carries 4x the queries, so the row is
     # kernel-bound instead of tunnel-dispatch-bound — measured same-day
     # b1024 99-180k QPS across tunnel windows vs b4096 220k stable.
-    ap.add_argument("--config", default="ivf100k_np96_b4096", choices=sorted(CONFIGS))
+    ap.add_argument("--config", default="ivf100k_np96_b4096",
+                    choices=sorted(list(CONFIGS) + list(DEVICE_CONFIGS)))
     ap.add_argument("--configs", default=None,
                     help="comma-separated config list run in ONE process "
                          "(amortizes the 25-90s tunnel warmup across rows)")
@@ -708,7 +855,7 @@ def main() -> None:
         names = list(CONFIGS)
     elif args.configs:
         names = [n.strip() for n in args.configs.split(",") if n.strip()]
-        unknown = [n for n in names if n not in CONFIGS]
+        unknown = [n for n in names if n not in CONFIGS and n not in DEVICE_CONFIGS]
         if unknown:
             raise SystemExit(f"unknown configs: {unknown}")
     else:
@@ -716,7 +863,9 @@ def main() -> None:
 
     index_cache: dict = {}
     results = [
-        run_config(
+        run_device_config(n, args.topk, args.duration, index_cache=index_cache)
+        if n in DEVICE_CONFIGS
+        else run_config(
             n, args.batch, args.topk, args.queries, args.duration,
             base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
             base_limit=args.base_limit, with_oracle=not args.no_oracle,

@@ -5,6 +5,8 @@ engine inside takurot/Pyrope (reference: /root/reference
 src/Pyrope.GarnetServer/Vector/*). Index families:
 
 - ``FlatIndex``      — exact brute-force scan (ref: BruteForceVectorIndex.cs)
+- ``DeviceFlatIndex``— frozen exact scan over a device-resident slab
+  (zero-copy bulk ingest; serves corpora past the host-slab wall)
 - ``IvfFlatIndex``   — coarse k-means + inverted-list exact scan (ref: IvfFlatVectorIndex.cs)
 - ``IvfPqIndex``     — IVF + product quantization with ADC (ref: IvfPqVectorIndex.cs)
 - ``HnswIndex``      — graph ANN with batched beam search (ref: HnswVectorIndex.cs)
@@ -36,6 +38,7 @@ __all__ = [
     "VectorIndex",
     "CentroidsProvider",
     "FlatIndex",
+    "DeviceFlatIndex",
 ]
 
 
@@ -45,6 +48,7 @@ def __getattr__(name):
     # backend and contend for the exclusive chip with the serving process).
     lazy = {
         "FlatIndex": "pyrope_tpu.index.flat",
+        "DeviceFlatIndex": "pyrope_tpu.index.device_flat",
         "VectorIndex": "pyrope_tpu.index.base",
         "CentroidsProvider": "pyrope_tpu.index.base",
         "IvfFlatIndex": "pyrope_tpu.index.ivf_flat",

@@ -8,6 +8,8 @@ top-k sets (head/tail, per-shard) by concatenating then re-selecting.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -61,6 +63,65 @@ def masked_topk(
     # Invalidate indices of -inf entries so hosts can drop them.
     idx = jnp.where(jnp.isfinite(vals), idx, -1)
     return vals, idx
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_exact_fn(metric, k_eff: int):
+    """Jitted per-chunk scorer for chunked_exact_topk (fp32 HIGHEST)."""
+
+    @jax.jit
+    def fn(xc, sqc, alivec, qd):
+        from pyrope_tpu.ops.distance import score_matrix
+
+        scores = score_matrix(qd, xc.astype(jnp.float32), metric, x_sqnorm=sqc)
+        return masked_topk(scores, alivec[None, :], k_eff, "exact")
+
+    return fn
+
+
+def chunked_exact_topk(
+    x: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    q: jax.Array,
+    k: int,
+    metric,
+    chunk_rows: int = 1 << 20,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact top-k over a device slab, chunked over corpus rows.
+
+    Verification-grade ground truth at scales where the one-shot XLA path's
+    [B, N] score transient would not fit HBM (10M x b256 fp32 = 10 GB): each
+    chunk scores [B, chunk_rows] with fp32-HIGHEST matmuls (the exact-path
+    invariant), selects top-k on device, and the per-chunk winners merge on
+    host. Returns HOST (values [B, k], slab-row indices [B, k]) sorted
+    descending; -inf/-1 mark missing hits.
+
+    Independent of the Pallas fused kernel by construction (XLA
+    score_matrix + lax.top_k), so it can serve as its cross-check.
+    """
+    import numpy as np
+
+    from pyrope_tpu.types import Metric
+
+    metric = Metric.parse(metric)
+    n = x.shape[0]
+    b = q.shape[0]
+    best_v = np.full((b, k), -np.inf, np.float32)
+    best_i = np.full((b, k), -1, np.int64)
+    fn = _chunk_exact_fn(metric, min(k, chunk_rows))
+    for s in range(0, n, chunk_rows):
+        e = min(s + chunk_rows, n)
+        vals, idx = fn(x[s:e], sqnorm[s:e], alive[s:e], q)
+        vals = np.asarray(vals)
+        idx = np.asarray(idx, np.int64)
+        idx = np.where(idx >= 0, idx + s, -1)
+        cand_v = np.concatenate([best_v, vals], axis=1)
+        cand_i = np.concatenate([best_i, idx], axis=1)
+        order = np.argsort(-cand_v, axis=1, kind="stable")[:, :k]
+        best_v = np.take_along_axis(cand_v, order, axis=1)
+        best_i = np.take_along_axis(cand_i, order, axis=1)
+    return best_v, best_i
 
 
 def merge_topk(
