@@ -308,6 +308,13 @@ def pallas_flat_topk(
     b, d = q.shape
     n = x.shape[0]
     row_tile = min(row_tile, n)
+    if k > RANK_MERGE_MAX_K:
+        # wide-k extract-max merge holds [Bt, k + row_tile] fused candidate
+        # temporaries: at Bt=128, k=100, T=4096 that is 19.2 MB of scoped
+        # vmem vs the 16 MB limit (measured compile OOM on v5e) — halve the
+        # batch tile; the extra slab re-streams hide behind the k merge
+        # rounds, which dominate at wide k anyway
+        batch_tile = min(batch_tile, 64)
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
@@ -617,6 +624,8 @@ def pallas_ivf_topk_windowed(
     n = x.shape[0]
     kpad = probed_t.shape[0]
     row_tile = min(row_tile, n)
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
@@ -659,6 +668,8 @@ def pallas_ivf_topk(
     n = x.shape[0]
     kpad = probed.shape[1]
     row_tile = min(row_tile, n)
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
