@@ -357,6 +357,18 @@ def build_index(algo: str, dim: int, kwargs: dict):
     raise ValueError(f"unknown algo {algo}")
 
 
+def scan_tflops(batch, n_rows, dim, device_ms, scan_path):
+    """Achieved TFLOP/s of the score matmul for rows whose kernel scans the
+    whole slab (flat/dense/device paths): 2·B·N·D FLOPs ÷ pipelined device
+    time. None for probe/graph/ADC paths, where a full-scan FLOPs estimate
+    would overstate utilization (VERDICT r3 #5: track MFU per row)."""
+    if not device_ms or not scan_path:
+        return None
+    if not scan_path.startswith(("dense", "device", "flat")):
+        return None
+    return round(2.0 * batch * n_rows * dim / (device_ms * 1e9), 3)
+
+
 _ORACLE_CACHE: dict = {}
 
 
@@ -540,7 +552,7 @@ def run_device_config(
     """Device-resident scale row (see DEVICE_CONFIGS): generate the corpus
     in HBM, serve it with DeviceFlatIndex, verify against the chunked XLA
     exact ground truth. No host slab and no reference oracle exist at this
-    scale — recall_at_10 IS measured (vs chunked_exact_topk over the fp32
+    scale — recall_at_k IS measured (vs chunked_exact_topk over the fp32
     corpus, 256 queries), recall_ref stays null."""
     import jax
     import jax.numpy as jnp
@@ -614,7 +626,7 @@ def run_device_config(
         "topk": topk,
         "qps": round(qps, 1),
         "device_ms_per_batch": device_ms_per_batch,
-        "recall_at_10": round(recall, 4),
+        "recall_at_k": round(recall, 4),
         "recall_ref": None,
         "n_oracle": 0,
         "n_truth": n_truth,
@@ -623,6 +635,8 @@ def run_device_config(
         "latency_batch_ms": summary.to_dict(),
         "baseline_qps": BASELINES.get(name),
         "scan_path": idx.describe_scan(batch),
+        "tflops": scan_tflops(batch, n, dim, device_ms_per_batch,
+                              idx.describe_scan(batch)),
         "memory_bytes": idx.memory_bytes(),
         "note": (
             "device-resident corpus (no host slab; generated in HBM, "
@@ -739,9 +753,16 @@ def run_config(
         idx, q_dev, topk, opts, duration_s, batch
     )
 
-    gt_q = queries[:batch]
+    # recall/oracle evaluation over >= 256 queries even when the serving
+    # batch is smaller: an n=64 recall estimate carries a ±0.04-0.06
+    # sampling band at k=10, wider than some engine-vs-oracle margins the
+    # rows are quoted for (VERDICT r3 #9). The extra device_search below is
+    # untimed, so the widened eval batch never touches the QPS columns.
+    n_eval = max(batch, min(len(queries), 256))
+    gt_q = queries[:n_eval]
     truth = ground_truth(base, gt_q, topk, metric)
-    vals, rows = idx.device_search(q_dev[0], topk, opts)
+    q_eval = q_dev[0] if n_eval == batch else jnp.asarray(gt_q)
+    vals, rows = idx.device_search(q_eval, topk, opts)
     id_lists = idx.resolve_rows(np.asarray(rows))
     from pyrope_tpu.utils.datasets import id_lists_to_rows
 
@@ -749,9 +770,9 @@ def run_config(
 
     # the reference-semantics oracle is a per-query Python loop on the ONE
     # host core — cap its query count so large-batch configs don't spend
-    # minutes of CPU re-proving the same partition (recall_at_10 above still
-    # uses the full batch; n_oracle is recorded in the row so readers can
-    # judge the ±~0.02 sampling band when comparing columns — ADVICE r2)
+    # minutes of CPU re-proving the same partition (recall_at_k above still
+    # uses the full eval batch; n_oracle is recorded in the row so readers
+    # can judge the sampling band when comparing columns — ADVICE r2)
     n_oracle = min(len(gt_q), 256)
     oracle_kwargs = {**kwargs, **opt_kwargs}
     recall_ref = (
@@ -778,9 +799,10 @@ def run_config(
         "topk": topk,
         "qps": round(qps, 1),
         "device_ms_per_batch": device_ms_per_batch,
-        "recall_at_10": round(recall, 4),
+        "recall_at_k": round(recall, 4),
         "recall_ref": recall_ref,
         "n_oracle": n_oracle if with_oracle else 0,
+        "n_eval": n_eval,
         "load_s": round(load_s, 3),
         "build_s": round(build_s, 3),
         "latency_batch_ms": summary.to_dict(),
@@ -794,6 +816,8 @@ def run_config(
         # the code path this row measured (e.g. IVF-PQ dense rows with
         # refine>0 exact-scan the rerank slab and never touch ADC)
         out["scan_path"] = idx.describe_scan(batch, opt_kwargs.get("nprobe"))
+        out["tflops"] = scan_tflops(batch, n_base, dim, device_ms_per_batch,
+                                    out["scan_path"])
     if hasattr(idx, "memory_bytes"):
         out["memory_bytes"] = idx.memory_bytes()
     log(f"[{name}] QPS={qps:,.1f} recall@{topk}={recall:.4f} "
@@ -881,6 +905,11 @@ def main() -> None:
             detail = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
+    for r in detail:
+        # pre-r4 rows stored recall under 'recall_at_10' even for k=100
+        # rows (ADVICE r3): migrate to the k-keyed name on every merge
+        if "recall_at_10" in r:
+            r["recall_at_k"] = r.pop("recall_at_10")
     merged = {(r["config"], r["batch"]): r for r in detail}
     for r in results:
         # recall_ref is deterministic per config (seeded data + reference

@@ -109,9 +109,11 @@ def chunked_exact_topk(
     b = q.shape[0]
     best_v = np.full((b, k), -np.inf, np.float32)
     best_i = np.full((b, k), -1, np.int64)
-    fn = _chunk_exact_fn(metric, min(k, chunk_rows))
     for s in range(0, n, chunk_rows):
         e = min(s + chunk_rows, n)
+        # per-chunk k clamp: a short TAIL chunk (n % chunk_rows < k) would
+        # otherwise feed lax.top_k a k larger than its row count (ADVICE r3)
+        fn = _chunk_exact_fn(metric, min(k, e - s))
         vals, idx = fn(x[s:e], sqnorm[s:e], alive[s:e], q)
         vals = np.asarray(vals)
         idx = np.asarray(idx, np.int64)

@@ -147,7 +147,7 @@ def main() -> int:
             "batch": args.queries,
             "topk": k,
             "qps": None,
-            "recall_at_10": round(rec, 4),
+            "recall_at_k": round(rec, 4),
             "recall_ref": None,
             "load_s": None,
             "build_s": round(build_s, 3),

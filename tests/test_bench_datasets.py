@@ -44,4 +44,4 @@ def test_bench_run_config_on_glove_fvecs(tmp_path):
         base_fvecs=str(fv), with_oracle=False,
     )
     assert out["n_base"] == 500 and out["dim"] == 16
-    assert out["recall_at_10"] >= 0.99  # exact flat on the glove vectors
+    assert out["recall_at_k"] >= 0.99  # exact flat on the glove vectors

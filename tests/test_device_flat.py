@@ -135,6 +135,31 @@ def test_device_load_roundtrip(tmp_path):
         assert [h.id for h in a] == [h.id for h in b]
 
 
+def test_device_load_keeps_implicit_ids(tmp_path):
+    # implicit-id snapshots must reload WITHOUT materializing the explicit
+    # id list / _id_to_row dict (~0.6 GB at 10M rows — ADVICE r3)
+    vecs = make_corpus(n=25)
+    dev = DeviceFlatIndex(vecs, "L2", selection="exact")
+    assert dev._row_ids is None
+    path = str(tmp_path / "snap.npz")
+    dev.snapshot(path)
+    dev2 = DeviceFlatIndex(np.zeros((4, 16), np.float32), "L2",
+                           selection="exact")
+    dev2.load(path)
+    assert dev2._row_ids is None and dev2._id_to_row is None
+    hits = dev2.search(vecs[7], 1)
+    assert hits[0].id == "7"
+    # explicit-id snapshots keep their ids through load
+    dev3 = DeviceFlatIndex(vecs, "L2", ids=[f"d{i}" for i in range(25)],
+                           selection="exact")
+    path2 = str(tmp_path / "snap2.npz")
+    dev3.snapshot(path2)
+    dev4 = DeviceFlatIndex(np.zeros((4, 16), np.float32), "L2",
+                           selection="exact")
+    dev4.load(path2)
+    assert dev4.search(vecs[7], 1)[0].id == "d7"
+
+
 def test_stats_and_memory():
     dev = DeviceFlatIndex(make_corpus(n=40), "L2")
     st = dev.get_stats()
@@ -174,6 +199,23 @@ def test_chunked_exact_topk_matches_host(metric):
                                 chunk_rows=1024)
     assert (i1 == idx).all()
     np.testing.assert_allclose(v1, vals, rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_exact_topk_short_tail_chunk():
+    # n % chunk_rows < k leaves a tail chunk with fewer rows than k:
+    # lax.top_k requires k <= row count, so the per-chunk k must clamp to
+    # the chunk's size (ADVICE r3 — latent crash, e.g. n=1_048_577 with
+    # chunk_rows=1<<20 leaves a 1-row tail at k=10)
+    vecs = make_corpus(n=130, dim=8)
+    q = make_corpus(n=3, dim=8, seed=7)
+    x = jnp.asarray(vecs)
+    sq = jnp.sum(x * x, axis=-1)
+    alive = jnp.ones(130, bool)
+    vals, idx = chunked_exact_topk(x, sq, alive, jnp.asarray(q), 10, "L2",
+                                   chunk_rows=128)  # tail chunk = 2 rows
+    truth = ground_truth(vecs, q, 10, "L2")
+    assert (idx == truth).all()
+    assert np.isfinite(np.asarray(vals)).all()
 
 
 def test_chunked_exact_topk_respects_alive_mask():
