@@ -104,6 +104,16 @@ BASELINES = {
     "sq8_100k_b1024": 461.4,
     "flat100k_ip_b1024": 69.6,  # ref's 100k flat row is the closest analog
     "flat1m_pallas_k100": None,
+    "flat1m_pallas_k50": None,
+    "flat1m_hybrid": None,
+    "flat1m_hybrid_b256": None,
+    "flat1m_hybrid_k100": None,
+    "ivf100k_np96_hybrid_b256": None,
+    "ivf1m_np256_hybrid_b256": None,
+    # ref P10-13 advanced-SIMD headline: 10k x 1024d exact scan, 147.9 QPS
+    "flat10k_d1024_b1024": 147.9,
+    "flat100k_d1024_b1024": None,
+    "ivf1m_d768_b1024": None,
     # 10x past the reference's practical wall (its 1M run stalled at 93%
     # load and published nothing; docs/benchmarks/20260118_benchmark_500k_ivf.md)
     "flat10m_device_b1024": None,
@@ -271,6 +281,38 @@ CONFIGS = {
     # reference's RoundK cache-bucket ceiling (Model/QueryKey.cs:52-60)
     "flat1m_pallas_k100": ("FLAT_PALLAS", 1_000_000, 128,
                            {"batch": 256, "topk": 100}),
+    # k=50: the midpoint of the RoundK bucket ladder (cache/query_key.py);
+    # with k100 above it pins the wide-k merge's scaling on hardware
+    "flat1m_pallas_k50": ("FLAT_PALLAS", 1_000_000, 128,
+                          {"batch": 256, "topk": 50}),
+    # hybrid exact: bf16 scan top-R + fp32 rerank — recall column must print
+    # 1.0 while QPS tracks flat1m_pallas (bf16), not flat1m_pallas_fp32
+    "flat1m_hybrid": ("FLAT_HYBRID", 1_000_000, 128, {}),
+    # b256 = the hybrid crossover ceiling (HYBRID_MAX_BATCH): above it the
+    # path routes to the fp32 Pallas scan, which flat1m_pallas_* already pin
+    "flat1m_hybrid_b256": ("FLAT_HYBRID", 1_000_000, 128, {"batch": 256}),
+    "flat1m_hybrid_k100": ("FLAT_HYBRID", 1_000_000, 128,
+                           {"batch": 256, "topk": 100}),
+    # IVF hybrid at the recall-matched serving point (vs ivf100k_np96_b1024;
+    # b256 keeps the hybrid kernel — see HYBRID_MAX_BATCH)
+    "ivf100k_np96_hybrid_b256": ("IVF_FLAT", 100_000, 128,
+                                 {"nlist": 100, "nprobe": 96,
+                                  "selection": "hybrid", "batch": 256}),
+    # windowed-hybrid on hardware: kpad ~1008 routes dense-pallas-win-hybrid
+    "ivf1m_np256_hybrid_b256": ("IVF_FLAT", 1_000_000, 128,
+                                {"nlist": 1000, "train_dtype": "bfloat16",
+                                 "nprobe": 256, "selection": "hybrid",
+                                 "batch": 256}),
+    # high dimension: the regime the reference published its SIMD wins at
+    # (10k x 1024d, 147.9 QPS — ref docs/benchmarks/20260118_p10_13
+    # _advanced_simd.md:9-15); the MXU should dominate here since the
+    # matmul, not the merge, carries the FLOPs
+    "flat10k_d1024_b1024": ("FLAT", 10_000, 1024, {"batch": 1024}),
+    "flat100k_d1024_b1024": ("FLAT", 100_000, 1024, {"batch": 1024}),
+    # embedding-realistic width at 1M (BERT-base 768d), serving batch
+    "ivf1m_d768_b1024": ("IVF_FLAT", 1_000_000, 768,
+                         {"nlist": 1000, "train_dtype": "bfloat16",
+                          "batch": 1024}),
     # HNSW 1M at a serving batch: the b64 row is utilization-bound (small
     # per-iteration gathers), not algorithmically bound
     "hnsw1m_clustered_b256": ("HNSW", 1_000_000, 128,
@@ -282,6 +324,20 @@ CONFIGS = {
                                {"m": 16, "ef_construction": 200,
                                 "ef_search": 50, "batch": 256,
                                 "opts": {"ef_search": 200}}),
+    # Zipf-skewed natural clusters (see ZIPF set below): same index configs
+    # as the balanced clustered rows so skew cost reads directly off the A/B
+    "ivf100k_zipf": ("IVF_FLAT", 100_000, 128, {"nlist": 100}),
+    "ivf1m_zipf_b1024": ("IVF_FLAT", 1_000_000, 128,
+                         {"nlist": 1000, "train_dtype": "bfloat16",
+                          "batch": 1024}),
+    # probe path under skew: l_pad tracks the LARGEST probed list (~130k
+    # rows at Zipf 1.0), the worst case for padded-CSR gathers
+    "ivf1m_zipf_probe": ("IVF_FLAT", 1_000_000, 128,
+                         {"nlist": 1000, "train_dtype": "bfloat16",
+                          "scan_mode": "probe", "batch": 256}),
+    "ivfpq1m_zipf_b256": ("IVF_PQ", 1_000_000, 128,
+                          {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                           "train_dtype": "bfloat16", "batch": 256}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
@@ -289,6 +345,12 @@ CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
              "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256",
              "ivfpq1m_probe"}
+# Zipf(1.0) cluster sizes: the largest natural cluster holds ~13% of the
+# corpus (vs 0.1% balanced) — stresses padded-CSR l_pad and the windowed
+# kernel's per-tile cluster spans (VERDICT r3 #7; in-image stand-in for
+# SIFT/GloVe skew, which the fvecs loaders support but egress blocks)
+ZIPF = {"ivf1m_zipf_b1024", "ivf1m_zipf_probe", "ivfpq1m_zipf_b256",
+        "ivf100k_zipf"}
 
 
 def log(*a):
@@ -336,6 +398,12 @@ def build_index(algo: str, dim: int, kwargs: dict):
     if algo == "FLAT_PALLAS_FP32":
         # the honest "(exact)" Pallas config: fp32 slab, recall must be 1.0
         return pt.FlatIndex(dim, "L2", storage="fp32", selection="pallas")
+    if algo == "FLAT_HYBRID":
+        # bf16 Pallas scan keeps top-R, fp32-HIGHEST rerank restores exact
+        # scores/order: recall must be 1.0 at near-bf16 scan throughput
+        # (VERDICT r3 #1 — the fp32 full scan pays ~1.8x for exactness the
+        # rerank gets from R rows)
+        return pt.FlatIndex(dim, "L2", storage="fp32", selection="hybrid")
     if algo == "FLAT_SQ8":
         return pt.FlatIndex(dim, "L2", storage="sq8")
     if algo == "IVF_FLAT":
@@ -701,6 +769,16 @@ def run_config(
         base = synthetic_clustered(n_base, dim, n_clusters=nc)
         queries = synthetic_clustered_queries(max(n_queries, batch), dim,
                                               n_clusters=nc)
+    elif name in ZIPF:
+        from pyrope_tpu.utils.datasets import (
+            synthetic_zipf,
+            synthetic_zipf_queries,
+        )
+
+        nc = kwargs.get("nlist", 100)
+        base = synthetic_zipf(n_base, dim, n_clusters=nc)
+        queries = synthetic_zipf_queries(max(n_queries, batch), dim,
+                                         n_clusters=nc)
     else:
         base = synthetic(n_base, dim)
         queries = synthetic_queries(max(n_queries, batch), dim)

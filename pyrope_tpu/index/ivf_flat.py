@@ -44,7 +44,7 @@ from pyrope_tpu.ops.scalars import device_i32
 import numpy as np
 
 from pyrope_tpu.index.base import CentroidsProvider, VectorIndex
-from pyrope_tpu.index.flat import FlatIndex
+from pyrope_tpu.index.flat import HYBRID_MAX_BATCH, FlatIndex
 from pyrope_tpu.ops.distance import score_matrix
 from pyrope_tpu.ops.kmeans import kmeans_build
 from pyrope_tpu.ops.topk import masked_topk, merge_topk
@@ -296,6 +296,54 @@ def _ivf_dense_pallas_win_fn(metric: Metric, k: int, nprobe: int,
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _ivf_dense_pallas_hybrid_fn(metric: Metric, k: int, r: int, nprobe: int,
+                                windowed: bool = False,
+                                probe_metric: Metric | None = None):
+    """Hybrid exact dense scan: the fused kernel streams the bf16 twin slab
+    and keeps each query's top-R shortlist, then rerank_exact rescores those
+    R rows off the fp32 slab with Precision.HIGHEST — identical hit sets to
+    the fp32 dense scan at near-bf16 scan cost (VERDICT r3 #1; the PQ-refine
+    pattern applied to the exact IVF path)."""
+    from pyrope_tpu.ops.distance import rerank_exact
+    from pyrope_tpu.ops.pallas_scan import (
+        PALLAS_IVF_WINDOW,
+        pallas_ivf_topk,
+        pallas_ivf_topk_windowed,
+    )
+
+    @jax.jit
+    def fn(cents, cvalid, xperm, xperm16, sqnorm, alive, offsets, lens, crow,
+           tile_clo, q, max_scans):
+        probe, _, _ = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, max_scans,
+            probe_metric or metric, None,
+        )
+        b = q.shape[0]
+        rt = min(4096, xperm16.shape[0])
+        # 64 not 128: the R-wide bitonic merge OOMs the 16M scoped-vmem
+        # stack at batch_tile 128 under jit (see index/flat.py hybrid path)
+        bt = min(64, b)
+        if windowed:
+            probed_t = probed_table_t(probe, cents.shape[0], PALLAS_IVF_WINDOW)
+            _, rows = pallas_ivf_topk_windowed(
+                q, xperm16, sqnorm, alive, crow, probed_t, tile_clo, r,
+                metric, row_tile=rt, batch_tile=bt,
+            )
+        else:
+            probed = probed_table(probe, cents.shape[0])
+            _, rows = pallas_ivf_topk(
+                q, xperm16, sqnorm, alive, crow, probed, r, metric,
+                row_tile=rt, batch_tile=bt,
+            )
+        return rerank_exact(xperm, sqnorm, q, rows, k, metric)
+
+    return fn
+
+
+_cast_bf16 = jax.jit(lambda a: a.astype(jnp.bfloat16))
+
+
 def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
                     npad: int, kpad: int, b: int, ms: int, n: int,
                     win_ok: bool = False) -> bool:
@@ -366,11 +414,19 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         both produce identical hit sets). ``selection``: 'auto' routes
         eligible dense scans through the fused Pallas kernel (identical hit
         sets, no [B, N] materialization); 'pallas' requires it; 'exact'
-        forces the XLA dense kernel."""
+        forces the XLA dense kernel; 'hybrid[:R]' scans a bf16 twin slab
+        with the fused kernel keeping top-R and reranks those rows off the
+        fp32 slab with HIGHEST — identical hit sets at near-bf16 scan cost
+        (+50% slab memory)."""
         if scan_mode not in ("auto", "dense", "probe"):
             raise ValueError(f"scan_mode must be auto|dense|probe, got {scan_mode!r}")
-        if selection not in ("auto", "pallas", "exact"):
-            raise ValueError(f"selection must be auto|pallas|exact, got {selection!r}")
+        if selection.partition(":")[0] not in ("auto", "pallas", "exact", "hybrid"):
+            raise ValueError(
+                f"selection must be auto|pallas|exact|hybrid[:R], got {selection!r}"
+            )
+        if selection.partition(":")[0] == "hybrid" and compute_dtype is not None:
+            raise ValueError("selection='hybrid' IS the exact path; "
+                             "compute_dtype must stay None (fp32)")
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
         self.nlist = int(nlist)
@@ -611,6 +667,8 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         t = self._host_tables()
         xperm, sqnorm = take_slab(x_dev, pad_order(order, t["npad"], x_dev.shape[0]))
         self._dev = {"xperm": xperm, "sqnorm": sqnorm, **self._dev_common(t)}
+        if self.selection.partition(":")[0] == "hybrid":
+            self._dev["xperm16"] = _cast_bf16(xperm)  # device-side, no re-upload
         self._dirty = False
 
     def _sync_locked(self) -> dict:
@@ -626,6 +684,8 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             "sqnorm": jnp.asarray(sq),
             **self._dev_common(t),
         }
+        if self.selection.partition(":")[0] == "hybrid":
+            self._dev["xperm16"] = _cast_bf16(self._dev["xperm"])
         self._dirty = False
         return self._dev
 
@@ -666,9 +726,19 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             return "probe"
         if not p_ok:
             return "dense-xla"
-        return ("dense-pallas-win"
+        path = ("dense-pallas-win"
                 if dev["cents"].shape[0] > PALLAS_IVF_MAX_KPAD
                 else "dense-pallas")
+        if (self.selection.partition(":")[0] == "hybrid"
+                and batch <= HYBRID_MAX_BATCH):
+            # ineligible shapes / max_scans budgets above fell back to the
+            # XLA kernels, which are already exact fp32 — 'hybrid' only
+            # changes WHICH exact kernel runs, never the hit set. Batches
+            # above the crossover keep the fp32 dense kernel: the R-wide
+            # bitonic merge across many batch groups costs more than the
+            # fp32 slab's extra passes (see index/flat.py HYBRID_MAX_BATCH)
+            path += "-hybrid"
+        return path
 
     def _run_scan(self, dev: dict, q: jax.Array, top_k: int, nprobe: int, ms: int):
         path = self._resolve_scan(dev, q.shape[0], nprobe, ms)
@@ -682,6 +752,22 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
                 "selection='pallas' requires the fused dense kernel but the "
                 f"scan resolved to {path!r} (needs dense mode, L2/IP, fp32 "
                 "compute, tile-divisible shapes)"
+            )
+        if path in ("dense-pallas-hybrid", "dense-pallas-win-hybrid"):
+            from pyrope_tpu.index.flat import hybrid_shortlist
+            from pyrope_tpu.ops.topk import parse_selection
+
+            r = hybrid_shortlist(
+                top_k, parse_selection(self.selection)[1],
+                min(4096, dev["xperm"].shape[0]),
+            )
+            windowed = path == "dense-pallas-win-hybrid"
+            fn = _ivf_dense_pallas_hybrid_fn(self.metric, top_k, r, nprobe,
+                                             windowed=windowed)
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["xperm16"],
+                dev["sqnorm"], dev["alive"], dev["offsets"], dev["lens"],
+                dev["crow"], dev.get("tile_clo"), q, device_i32(ms),
             )
         if path == "dense-pallas-win":
             fn = _ivf_dense_pallas_win_fn(self.metric, top_k, nprobe)

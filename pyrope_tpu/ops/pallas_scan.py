@@ -40,12 +40,140 @@ DEFAULT_ROW_TILE = 4096
 DEFAULT_BATCH_TILE = 64
 NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captured by kernels)
 RANK_MERGE_MAX_K = 32  # above this, _merge_tile uses the full extract-max merge
+import os as _os
+
+# dynamic-rounds extraction inside the wide-k bitonic merge (bisect flag)
+WIDE_DYN_EXTRACT = _os.environ.get("PYROPE_WIDE_DYN_EXTRACT", "1") == "1"
+
+
+def _beats(va, ia, vb, ib):
+    """Total-order comparator: (va, ia) strictly precedes (vb, ib) in the
+    (value desc, row asc) order every selection path shares — equal scores
+    prefer the lower corpus row, matching lax.top_k and the narrow merge's
+    first-column argmax, so all kernels return identical hit sets."""
+    return (va > vb) | ((va == vb) & (ia < ib))
+
+
+def _lane_roll(x, s: int):
+    """Lane-dim rotate. On real TPUs this MUST be pltpu.roll (lowers to one
+    tpu.DynamicRotate): jnp.roll's concatenate-of-slices lowering SIGABRTs
+    the Mosaic LoweringEmitter (`limits[i] <= dim(i) (8 vs. 1)`) when the
+    rotated value feeds the compare/select chains of the bitonic network
+    (bisected on v5e; a lone jnp.roll compiles fine). Interpret mode
+    (CPU tests) keeps jnp.roll — pltpu.roll has no interpret rule."""
+    if jax.default_backend() in ("tpu", "axon"):
+        # roll_p matches jnp.roll semantics but requires shift >= 0
+        return pltpu.roll(x, s % x.shape[-1], axis=x.ndim - 1)
+    return jnp.roll(x, s, axis=-1)
+
+
+def _cmpex(v, i, s: int, dirm):
+    """One bitonic compare-exchange stage at XOR-stride ``s`` over the lane
+    dim. ``dirm`` bool [.., T]: True where the enclosing block sorts
+    descending. Partners are fetched with two static rotates (XOR partners
+    sit at ±s; each lane keeps the correct one), so the stage is pure
+    vreg work — no gathers."""
+    col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    low = (col & s) == 0
+    pv = jnp.where(low, _lane_roll(v, -s), _lane_roll(v, s))
+    pi = jnp.where(low, _lane_roll(i, -s), _lane_roll(i, s))
+    keep_max = low == dirm
+    take_self = _beats(v, i, pv, pi) == keep_max
+    return jnp.where(take_self, v, pv), jnp.where(take_self, i, pi)
+
+
+def _bitonic_tile_topk(scores, base, kpad: int):
+    """Sorted-desc top-``kpad`` of each row of ``scores`` [Bt, T] via a
+    bitonic partial sort (T, kpad powers of two; kpad <= T).
+
+    1. Sort every kpad-block: the standard alternating bitonic network at
+       intermediate levels; the final level sorts the tile's first half of
+       blocks descending and second half ascending (the reduction's
+       invariant).
+    2. Reduction rounds: the first and second halves pair elementwise as
+       (desc, asc) = bitonic, so one compare keeps the top-kpad multiset of
+       every pair (Batcher's bitonic halver), then log2(kpad) merge stages
+       restore per-block order. Width halves every round until one sorted
+       block remains — O(T·log²(kpad)) VPU work vs the extract-max loop's
+       O(k·(k+T)) (3.4k QPS at k=100 on 1M, VERDICT r3 #2)."""
+    bt, t = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
+    v = scores
+    i = base + col
+    size = 2
+    while size <= kpad:
+        if size < kpad:
+            dirm = (col & size) == 0
+        else:
+            dirm = col < max(t // 2, kpad)
+        s = size // 2
+        while s >= 1:
+            v, i = _cmpex(v, i, s, dirm)
+            s //= 2
+        size *= 2
+    w = t
+    while w > kpad:
+        h = w // 2
+        av, ai = v[:, :h], i[:, :h]
+        bv, bi = v[:, h:], i[:, h:]
+        mine = _beats(av, ai, bv, bi)
+        v = jnp.where(mine, av, bv)
+        i = jnp.where(mine, ai, bi)
+        w = h
+        colw = jax.lax.broadcasted_iota(jnp.int32, (bt, w), 1)
+        dirm = colw < max(w // 2, kpad)
+        s = kpad // 2
+        while s >= 1:
+            v, i = _cmpex(v, i, s, dirm)
+            s //= 2
+    return v, i
+
+
+def _reverse_lanes(v, i, width: int):
+    """Reverse [Bt, width] on the lane dim (width a power of two) by
+    swapping each index bit — log2(width) roll+select stages, no gathers."""
+    s = width // 2
+    while s >= 1:
+        col = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        low = (col & s) == 0
+        v = jnp.where(low, _lane_roll(v, -s), _lane_roll(v, s))
+        i = jnp.where(low, _lane_roll(i, -s), _lane_roll(i, s))
+        s //= 2
+    return v, i
+
+
+def _bitonic_list_merge(run_v, run_i, ext_v, ext_i, kpad: int):
+    """Merge a sorted-desc [Bt, kpad] extract list into the sorted-desc
+    running scratch: reverse the extract (desc+asc concat = bitonic), one
+    elementwise halver compare keeps the top-kpad multiset, then a
+    log2(kpad)-stage descending bitonic merge restores order."""
+    ext_v, ext_i = _reverse_lanes(ext_v, ext_i, kpad)
+    rv, ri = run_v[:], run_i[:]
+    mine = _beats(rv, ri, ext_v, ext_i)
+    v = jnp.where(mine, rv, ext_v)
+    i = jnp.where(mine, ri, ext_i)
+    dirm = jnp.ones(v.shape, bool)
+    s = kpad // 2
+    while s >= 1:
+        v, i = _cmpex(v, i, s, dirm)
+        s //= 2
+    run_v[:] = v
+    run_i[:] = i
+
+
+def _bitonic_merge_wide(run_v, run_i, scores, base, *, k: int, kpad: int):
+    """Wide-k tile merge for candidate-DENSE tiles: bitonic tile top-kpad
+    (O(T·log²(kpad)) regardless of how many candidates there are), then the
+    sorted-list merge."""
+    ext_v, ext_i = _bitonic_tile_topk(scores, base, kpad)
+    _bitonic_list_merge(run_v, run_i, ext_v, ext_i, kpad)
 
 
 def _merge_tile_wide(run_v, run_i, scores, base, *, k: int):
     """k rounds of extract-max over the fused [Bt, k + T] candidate row.
 
-    The wide-k (> RANK_MERGE_MAX_K) merge: O(k·(k+T)) VPU work per merging
+    The FALLBACK wide-k merge (non-power-of-two row tiles where the
+    bitonic network above does not apply): O(k·(k+T)) VPU work per merging
     tile, but constant vmem — no unrolled [Bt, k] temporaries (the rank
     merge's 2k unrolled where-chains blow the 16 MB scoped-vmem stack at
     k ~ 100; measured 21.5 MB)."""
@@ -73,8 +201,18 @@ def _merge_tile_wide(run_v, run_i, scores, base, *, k: int):
     run_i[:] = jnp.concatenate(new_i, axis=1)
 
 
-def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
-    """Score one corpus tile on the MXU: q [Bt, D], x [T, D] -> [Bt, T]."""
+def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False,
+                 demote_bf16: bool = False):
+    """Score one corpus tile on the MXU: q [Bt, D], x [T, D] -> [Bt, T].
+
+    ``demote_bf16``: cast BOTH operands to bf16 and run a single MXU pass
+    (fp32 accumulate) even off an fp32 slab — the scan half of the hybrid
+    exact path (bf16 scan keeps top-R, fp32-HIGHEST rerank restores
+    exactness; VERDICT r3 #1: the fp32-HIGHEST full scan pays ~1.8x for
+    exactness the rerank gets from R rows)."""
+    if demote_bf16:
+        return _tile_scores(q.astype(jnp.bfloat16), x.astype(jnp.bfloat16),
+                            sq, metric=metric)
     # fp32 operands MUST pin HIGHEST: the MXU's default fp32 matmul runs
     # bf16 passes, which silently demoted the "exact" fp32 config to bf16
     # scores (measured recall 0.9828 instead of 1.0). bf16 slabs keep the
@@ -98,7 +236,25 @@ def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False):
     return dots  # IP (cosine rows pre-normalized)
 
 
-def _merge_tile(run_v, run_i, scores, base, *, k: int):
+def _wide_params(k: int, row_tile: int) -> tuple[int, bool]:
+    """(scratch width, bitonic-eligible) for a kernel's running top-k.
+
+    Wide k (> RANK_MERGE_MAX_K) runs the bitonic merge when the row tile is
+    a power of two at least next_pow2(k) wide (every capacity-bucketed slab
+    qualifies); the scratch then carries next_pow2(k) slots and the flush
+    slices the first k. Otherwise the extract-max fallback runs at exactly
+    k slots."""
+    if k <= RANK_MERGE_MAX_K:
+        return k, False
+    from pyrope_tpu.utils.shapes import next_pow2
+
+    kp = next_pow2(k)
+    if row_tile >= kp and (row_tile & (row_tile - 1)) == 0:
+        return kp, True
+    return k, False
+
+
+def _merge_tile(run_v, run_i, scores, base, *, k: int, bitonic: bool = False):
     """Merge a tile's masked scores into the [Bt, k] running top-k scratch.
     ``base`` is the tile's first corpus row: every kernel scores contiguous
     rows, so the index of an extracted element is just base + its column —
@@ -131,9 +287,43 @@ def _merge_tile(run_v, run_i, scores, base, *, k: int):
     need_merge = jnp.any(tile_max > theta)
 
     if k > RANK_MERGE_MAX_K:
+        # scratch may carry next_pow2(k) slots (bitonic); gating on the kth
+        # (not kpad-th) best stays correct: a skipped tile's entries could
+        # only have landed beyond position k, never inside the final top-k
         @pl.when(need_merge)
         def _():
-            _merge_tile_wide(run_v, run_i, scores, base, k=k)
+            if bitonic:
+                kpad = run_v.shape[1]
+                if not WIDE_DYN_EXTRACT:
+                    _bitonic_merge_wide(run_v, run_i, scores, base, k=k,
+                                        kpad=kpad)
+                    return
+                # dynamic rounds, same trick as the narrow path below: on
+                # long scans most tiles hold only a handful of candidates
+                # beating theta (E ≈ k/tile_index per row), so extract just
+                # those with a data-dependent fori_loop and bitonic-merge
+                # the sorted list — the full O(T·log²kpad) tile sort runs
+                # only on candidate-dense tiles (theta still warming).
+                # Under-extraction vs the kpad scratch is safe: an entry
+                # <= theta ranks after >= k tracked entries, so it can
+                # never enter the final top-k (same argument as the gate).
+                beats = jnp.sum(
+                    jnp.where(scores > theta, 1, 0).astype(jnp.int32), axis=1
+                )
+                rounds = jnp.minimum(jnp.max(beats), kpad)
+
+                @pl.when(2 * rounds > kpad)
+                def _():
+                    _bitonic_merge_wide(run_v, run_i, scores, base, k=k,
+                                        kpad=kpad)
+
+                @pl.when(2 * rounds <= kpad)
+                def _():
+                    ev, ei = _extract_top(scores, base, rounds, k=kpad,
+                                          unroll=False)
+                    _bitonic_list_merge(run_v, run_i, ev, ei, kpad)
+            else:
+                _merge_tile_wide(run_v, run_i, scores, base, k=k)
         return
 
     @pl.when(need_merge)
@@ -222,7 +412,8 @@ def _rank_merge(run_v, run_i, ext_v, ext_i, *, k: int):
 
 
 def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
-                 run_v, run_i, *, k: int, metric: Metric, row_tile: int):
+                 run_v, run_i, *, k: int, metric: Metric, row_tile: int,
+                 bitonic: bool):
     n_idx = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -237,10 +428,14 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     mask = alive_ref[:][None, :] & (rows < ms_ref[0])
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
+        # flush the FULL scratch (kpad wide on the bitonic path): an in-
+        # kernel [:, :k] lane slice at k=100 of a 128-wide vreg crashed the
+        # Mosaic lowering (limits[i] <= dim(i) SIGABRT); the k-slice and the
+        # -1 missing-hit normalization happen in the wrapper instead
         vals_ref[:] = run_v[:]
         idx_ref[:] = run_i[:]
 
@@ -249,8 +444,9 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
 def _build(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
            x_dtype: str, row_tile: int, batch_tile: int, interpret: bool):
     grid = (b_pad // batch_tile, n_pad // row_tile)
+    kpad, bitonic = _wide_params(k, row_tile)
     kernel = functools.partial(
-        _scan_kernel, k=k, metric=metric, row_tile=row_tile
+        _scan_kernel, k=k, metric=metric, row_tile=row_tile, bitonic=bitonic
     )
     return pl.pallas_call(
         kernel,
@@ -267,21 +463,33 @@ def _build(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
                          memory_space=pltpu.VMEM),                     # alive
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, kpad), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, kpad), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, kpad), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, kpad), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, k), jnp.float32),
-            pltpu.VMEM((batch_tile, k), jnp.int32),
+            pltpu.VMEM((batch_tile, kpad), jnp.float32),
+            pltpu.VMEM((batch_tile, kpad), jnp.int32),
         ],
         interpret=interpret,
     )
+
+
+def _finish_topk(vals, idx, k: int):
+    """Post-kernel: slice the kpad-wide flush to k and restore the
+    masked_topk convention (-inf score, idx -1). The bitonic scratch keeps
+    a masked row's real index next to its NEG_INF sentinel, so the -1
+    normalization keys off the value; kernels cannot capture jnp -inf so
+    missing hits carry the finite sentinel internally."""
+    vals, idx = vals[:, :k], idx[:, :k]
+    idx = jnp.where(vals > NEG_INF, idx, -1)
+    vals = jnp.where(idx < 0, -jnp.inf, vals)
+    return vals, idx
 
 
 def pallas_flat_topk(
@@ -308,12 +516,12 @@ def pallas_flat_topk(
     b, d = q.shape
     n = x.shape[0]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K:
-        # wide-k extract-max merge holds [Bt, k + row_tile] fused candidate
+    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
+        # the extract-max FALLBACK holds [Bt, k + row_tile] fused candidate
         # temporaries: at Bt=128, k=100, T=4096 that is 19.2 MB of scoped
         # vmem vs the 16 MB limit (measured compile OOM on v5e) — halve the
-        # batch tile; the extra slab re-streams hide behind the k merge
-        # rounds, which dominate at wide k anyway
+        # batch tile. The bitonic wide-k path works on [Bt, row_tile] vregs
+        # and keeps the full batch tile.
         batch_tile = min(batch_tile, 64)
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
@@ -325,11 +533,7 @@ def pallas_flat_topk(
     ms = (max_scans if isinstance(max_scans, jax.Array)
           else device_i32x1(max_scans))
     vals, idx = fn(ms, q, x, sqnorm, alive)
-    # kernels cannot capture jnp -inf, so missing hits carry the finite
-    # sentinel internally; restore the masked_topk convention (-inf score,
-    # idx -1) so isfinite-based missing-hit detection works downstream
-    vals = jnp.where(idx < 0, -jnp.inf, vals)
-    return vals, idx
+    return _finish_topk(vals, idx, k)
 
 
 # ---- fused dense-mask IVF scan ---------------------------------------------
@@ -337,7 +541,7 @@ def pallas_flat_topk(
 def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
                      vals_ref, idx_ref, run_v, run_i,
                      *, k: int, metric: Metric, row_tile: int,
-                     promote_fp32: bool):
+                     promote_fp32: bool, bitonic: bool):
     """Flat-scan kernel + probe-membership mask (the dense IVF scan).
 
     A corpus row survives iff its cluster is in the query's probe set. The
@@ -376,10 +580,14 @@ def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
+        # flush the FULL scratch (kpad wide on the bitonic path): an in-
+        # kernel [:, :k] lane slice at k=100 of a 128-wide vreg crashed the
+        # Mosaic lowering (limits[i] <= dim(i) SIGABRT); the k-slice and the
+        # -1 missing-hit normalization happen in the wrapper instead
         vals_ref[:] = run_v[:]
         idx_ref[:] = run_i[:]
 
@@ -389,9 +597,10 @@ def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
                kpad: int, x_dtype: str, row_tile: int, batch_tile: int,
                promote_fp32: bool, interpret: bool):
     grid = (b_pad // batch_tile, n_pad // row_tile)
+    scratch_k, bitonic = _wide_params(k, row_tile)
     kernel = functools.partial(
         _ivf_scan_kernel, k=k, metric=metric, row_tile=row_tile,
-        promote_fp32=promote_fp32,
+        promote_fp32=promote_fp32, bitonic=bitonic,
     )
     return pl.pallas_call(
         kernel,
@@ -411,18 +620,18 @@ def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
                          memory_space=pltpu.VMEM),                     # probed
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, k), jnp.float32),
-            pltpu.VMEM((batch_tile, k), jnp.int32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.float32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -499,7 +708,7 @@ def _ivf_scan_windowed_kernel(
     tile_clo_ref, q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_t_ref,
     vals_ref, idx_ref, run_v, run_i,
     *, k: int, metric: Metric, row_tile: int, window: int,
-    promote_fp32: bool,
+    promote_fp32: bool, bitonic: bool,
 ):
     """Dense-mask IVF scan for WIDE cluster tables (kpad > ~512).
 
@@ -541,10 +750,14 @@ def _ivf_scan_windowed_kernel(
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k)
+    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
+        # flush the FULL scratch (kpad wide on the bitonic path): an in-
+        # kernel [:, :k] lane slice at k=100 of a 128-wide vreg crashed the
+        # Mosaic lowering (limits[i] <= dim(i) SIGABRT); the k-slice and the
+        # -1 missing-hit normalization happen in the wrapper instead
         vals_ref[:] = run_v[:]
         idx_ref[:] = run_i[:]
 
@@ -556,9 +769,10 @@ def _build_ivf_windowed(
     promote_fp32: bool, interpret: bool,
 ):
     grid = (b_pad // batch_tile, n_pad // row_tile)
+    scratch_k, bitonic = _wide_params(k, row_tile)
     kernel = functools.partial(
         _ivf_scan_windowed_kernel, k=k, metric=metric, row_tile=row_tile,
-        window=window, promote_fp32=promote_fp32,
+        window=window, promote_fp32=promote_fp32, bitonic=bitonic,
     )
     return pl.pallas_call(
         kernel,
@@ -579,18 +793,18 @@ def _build_ivf_windowed(
                          memory_space=pltpu.VMEM),                     # probedT
         ],
         out_specs=[
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch_tile, k), lambda b, n: (b, 0),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
-            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((batch_tile, k), jnp.float32),
-            pltpu.VMEM((batch_tile, k), jnp.int32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.float32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
     )
@@ -624,8 +838,8 @@ def pallas_ivf_topk_windowed(
     n = x.shape[0]
     kpad = probed_t.shape[0]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K:
-        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
+    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
+        batch_tile = min(batch_tile, 64)  # extract-max fallback vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
@@ -636,8 +850,7 @@ def pallas_ivf_topk_windowed(
                              row_tile, batch_tile, window, promote_fp32,
                              interpret)
     vals, idx = fn(tile_clo, q, x, sqnorm, alive, crow, probed_t)
-    vals = jnp.where(idx < 0, -jnp.inf, vals)
-    return vals, idx
+    return _finish_topk(vals, idx, k)
 
 
 def pallas_ivf_topk(
@@ -668,8 +881,8 @@ def pallas_ivf_topk(
     n = x.shape[0]
     kpad = probed.shape[1]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K:
-        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
+    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
+        batch_tile = min(batch_tile, 64)  # extract-max fallback vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
@@ -677,5 +890,4 @@ def pallas_ivf_topk(
     fn = _build_ivf(metric, k, b, n, d, kpad, str(x.dtype), row_tile,
                     batch_tile, promote_fp32, interpret)
     vals, idx = fn(q, x, sqnorm, alive, crow, probed)
-    vals = jnp.where(idx < 0, -jnp.inf, vals)
-    return vals, idx
+    return _finish_topk(vals, idx, k)

@@ -17,16 +17,26 @@ NEG_INF = jnp.float32(-jnp.inf)
 
 
 def parse_selection(selection: str) -> tuple[str, float]:
-    """'exact' | 'pallas' | 'approx[:<recall>]' -> (mode, recall_target).
+    """'exact' | 'pallas' | 'approx[:<recall>]' | 'hybrid[:<R>]'
+    -> (mode, param): approx's param is its recall target; hybrid's is the
+    shortlist width R (0 = auto: max(64, next_pow2(4k))).
 
     'pallas' = the fused scan+running-top-k kernel (ops/pallas_scan.py),
-    exact like 'exact'; indexes route it before reaching masked_topk."""
+    exact like 'exact'. 'hybrid' = bf16 Pallas scan keeps top-R, then an
+    fp32-HIGHEST rerank of the R rows restores exact scores/order at
+    near-bf16 scan cost (the PQ-refine pattern applied to the exact path);
+    indexes route both before reaching masked_topk."""
     if selection in ("exact", "pallas"):
         return selection, 1.0
     if selection.startswith("approx"):
         _, _, rt = selection.partition(":")
         return "approx", float(rt) if rt else 0.95
-    raise ValueError(f"selection must be exact|pallas|approx[:recall], got {selection!r}")
+    if selection.startswith("hybrid"):
+        _, _, r = selection.partition(":")
+        return "hybrid", float(r) if r else 0.0
+    raise ValueError(
+        f"selection must be exact|pallas|approx[:recall]|hybrid[:R], got {selection!r}"
+    )
 
 
 def masked_topk(

@@ -91,6 +91,125 @@ def roundrobin_layout(lens: np.ndarray, offsets: np.ndarray, nd: int, kpad: int)
     return local_lens, local_offsets, l_pad, cap_local, placements
 
 
+def cluster_layout(lens: np.ndarray, offsets: np.ndarray, nd: int, kpad: int):
+    """Deal whole CLUSTERS to shards, size-balanced (greedy LPT: largest
+    list to the least-loaded shard).
+
+    The alternative to roundrobin_layout (VERDICT r3 #6): each shard owns
+    ~K/nd complete lists, so a probed list is scanned by exactly ONE shard —
+    per-shard probe-path work drops from nprobe list-slices (each padded to
+    >= 128 gather rows) to ~nprobe/nd full lists. The trade is load balance:
+    probe ownership is query-dependent, so a query whose probes concentrate
+    on one shard serializes there (the static probe cap in
+    make_sharded_ivf_cluster_probe_search bounds the worst case). Greedy
+    LPT keeps SLAB sizes balanced even under Zipf cluster-size skew; probe
+    LOAD balance depends on the query distribution.
+
+    Returns (local_lens [nd, kpad], local_offsets [nd, kpad], l_pad,
+    cap_local, placements, owner [kpad]) — same contract as
+    roundrobin_layout plus the ownership table.
+    """
+    k = lens.shape[0]
+    owner = np.zeros(kpad, np.int32)
+    load = np.zeros(nd, np.int64)
+    for li in np.argsort(-lens[:k], kind="stable"):
+        s = int(np.argmin(load))
+        owner[li] = s
+        load[s] += int(lens[li])
+    if kpad > k:  # pad clusters (never probed): spread round-robin
+        owner[k:] = np.arange(kpad - k) % nd
+    local_lens = np.zeros((nd, kpad), np.int32)
+    for li in range(k):
+        local_lens[owner[li], li] = int(lens[li])
+    # full lists live on one shard: l_pad tracks the LARGEST list
+    l_pad = int(round_up(max(int(lens[:k].max()) if k else 1, 1), 128))
+    local_offsets = np.zeros((nd, kpad), np.int32)
+    caps = local_lens.sum(axis=1)
+    cap_local = int(round_up(int(caps.max()) if k else 1, 8) + l_pad)
+    cap_local = int(round_up(cap_local, 4096) if cap_local > 4096
+                    else round_up(cap_local, 128))
+    placements = []
+    cursor = np.zeros(nd, np.int64)
+    for li in range(k):
+        s = int(owner[li])
+        off, ln = int(offsets[li]), int(lens[li])
+        c = int(cursor[s])
+        local_offsets[s, li] = c
+        if ln:
+            placements.append((s, c, np.arange(off, off + ln)))
+        cursor[s] = c + ln
+    return local_lens, local_offsets, l_pad, cap_local, placements, owner
+
+
+def make_sharded_ivf_cluster_probe_search(
+    mesh: Mesh, metric: Metric, k: int, nprobe: int, p_cap: int,
+    l_pad: int, stride: int, compute: str | None,
+):
+    """shard_map'd probed scan for the CLUSTER layout: every shard ranks
+    probes identically (replicated centroids), keeps only the probes it
+    OWNS (owner table), compacts them into ``p_cap`` static slots, and
+    scans those full lists from its local slab. ~nprobe/nd lists per shard
+    instead of nprobe slices — the static shapes XLA needs, with the skew
+    risk made explicit: owned probes beyond p_cap are DROPPED (choose
+    p_cap = nprobe for a no-drop guarantee; the auto default provisions
+    4x the balanced expectation, see ShardedIvfFlatIndex.probe_cap)."""
+    cdtype = None if compute is None else jnp.dtype(compute)
+    prec = jax.lax.Precision.HIGHEST if compute is None else None
+    two_d = BATCH_AXIS in mesh.axis_names
+
+    def local(cents, cvalid, xperm, sqnorm, alive, offsets, lens, owner,
+              q, ms_local):
+        xperm, sqnorm, alive = xperm[0], sqnorm[0], alive[0]
+        offsets, lens = offsets[0], lens[0]
+        shard = jax.lax.axis_index(DATA_AXIS)
+
+        # identical global probe ranking on every shard; the local CSR's
+        # lens are zero for non-owned lists so the budget below only counts
+        # rows this shard will actually scan
+        probe, _, _ = rank_probes(
+            q, cents, cvalid, offsets, lens, nprobe, ms_local, metric, cdtype
+        )
+        owned = owner[probe] == shard                        # [B, nprobe]
+        # compact owned probes into p_cap slots, preserving probe rank
+        # (score: higher = earlier-ranked owned probe; -1 = not mine)
+        pos = jax.lax.broadcasted_iota(jnp.int32, probe.shape, 1)
+        sel_score, sel = jax.lax.top_k(
+            jnp.where(owned, nprobe - pos, -1), p_cap
+        )
+        probe_own = jnp.take_along_axis(probe, sel, axis=1)  # [B, p_cap]
+        valid = sel_score > 0
+        lens_own = jnp.where(valid, lens[probe_own], 0)
+        offs_own = jnp.where(valid, offsets[probe_own], 0)
+        # max_scans budget over the shard's own scan order (ref semantics
+        # applied per shard: cumulative rows scanned locally)
+        before = jnp.cumsum(lens_own, axis=1) - lens_own
+        eff = jnp.minimum(lens_own, jnp.maximum(ms_local - before, 0))
+
+        vals, gidx = scan_probed_lists(
+            xperm, sqnorm, alive, q, offs_own, eff,
+            k=k, l_pad=l_pad, metric=metric, cdtype=cdtype, prec=prec,
+            row_base=shard * stride,
+        )
+        return allgather_merge_topk(vals, gidx, k)
+
+    q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
+    out_one = P(BATCH_AXIS, None) if two_d else P(None, None)
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None), P(None),                      # centroids replicated
+            P(DATA_AXIS, None, None), P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(DATA_AXIS, None), P(DATA_AXIS, None),
+            P(None),                                      # owner replicated
+            q_spec, P(),
+        ),
+        out_specs=(out_one, out_one),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def shard_tile_windows(crow_l: np.ndarray, local_lens: np.ndarray,
                        cap_local: int, kpad: int):
     """Per-shard fused-Pallas windowed-kernel eligibility (shared by the
@@ -302,11 +421,27 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         compute_dtype: Optional[str] = None,
         seed: int = 42,
         scan_mode: str = "auto",
+        shard_by: str = "rows",       # rows | cluster (see module docstring)
+        probe_cap: int | str = "auto",
     ):
+        """``shard_by='cluster'`` deals whole lists to shards (greedy LPT
+        size balance): the probe path scans ~nprobe/nd full lists per shard
+        instead of nprobe padded slices — less per-shard work, but probe
+        LOAD depends on the query (VERDICT r3 #6; no reference analog — it
+        has no distribution at all). ``probe_cap`` bounds the static
+        owned-probe slots per shard on that path: 'auto' provisions
+        4x the balanced expectation (min(nprobe, max(8, 4*ceil(nprobe/nd)));
+        owned probes beyond the cap are dropped — recall, not correctness,
+        degrades, and only under heavy ownership skew), or pass nprobe for
+        a no-drop guarantee at single-chip probe cost."""
+        if shard_by not in ("rows", "cluster"):
+            raise ValueError(f"shard_by must be rows|cluster, got {shard_by!r}")
         self.mesh = mesh if mesh is not None else default_mesh()
         # rows are dealt over the DATA axis only (a 2-D mesh replicates the
         # slab across BATCH groups)
         self._ndev = int(self.mesh.shape[DATA_AXIS])
+        self.shard_by = shard_by
+        self.probe_cap = probe_cap
         super().__init__(
             dim, metric, nlist=nlist, nprobe=nprobe,
             compute_dtype=compute_dtype, seed=seed, scan_mode=scan_mode,
@@ -327,9 +462,14 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
         nd = self._ndev
         k = self._lens.shape[0]
         kpad = round_up(max(k, 1), 8)
-        local_lens, local_offsets, l_pad, cap_local, placements = roundrobin_layout(
-            self._lens, self._offsets, nd, kpad
-        )
+        owner = None
+        if self.shard_by == "cluster":
+            (local_lens, local_offsets, l_pad, cap_local, placements,
+             owner) = cluster_layout(self._lens, self._offsets, nd, kpad)
+        else:
+            local_lens, local_offsets, l_pad, cap_local, placements = (
+                roundrobin_layout(self._lens, self._offsets, nd, kpad)
+            )
         stride = cap_local
 
         xp = np.zeros((nd, cap_local, self.dim), np.float32)
@@ -387,6 +527,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             "l_pad": l_pad,
             "stride": stride,
             "k_actual": k,
+            "owner": jnp.asarray(owner) if owner is not None else None,
             # decode tables CONSISTENT with these shards (rebuild swaps them)
             "enc_to_perm": enc_to_perm,
             "perm_ids": self._perm_ids,
@@ -414,6 +555,14 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             # list plus rounding slack, so the only safe no-op budget is the
             # local slab capacity itself
             ms_local = dev["stride"]
+        elif self.shard_by == "cluster":
+            # whole lists live on one shard: each probed list is scanned
+            # exactly once somewhere, so the closest analog of the global
+            # budget is the full budget applied per shard in probe order
+            # (the row layout divides instead — its shards scan 1/nd of
+            # every list). Both are approximations of the single-chip
+            # insertion-order semantics; tests pin the uncapped path only.
+            ms_local = options.max_scans
         else:
             ms_local = (options.max_scans + self._ndev - 1) // self._ndev
         path = self._resolve_sharded_scan(
@@ -431,6 +580,12 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             elif path == "dense-xla":
                 fn = make_sharded_ivf_dense_search(
                     self.mesh, self.metric, top_k, nprobe,
+                    dev["stride"], self.compute_dtype,
+                )
+            elif self.shard_by == "cluster":
+                fn = make_sharded_ivf_cluster_probe_search(
+                    self.mesh, self.metric, top_k, nprobe,
+                    self._resolve_probe_cap(nprobe), dev["l_pad"],
                     dev["stride"], self.compute_dtype,
                 )
             else:
@@ -451,10 +606,27 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
                 dev["alive"], dev["offsets"], dev["lens"], dev["crow"],
                 dev["pos"], q, device_i32(ms_local),
             )
+        if self.shard_by == "cluster":
+            return fn(
+                dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
+                dev["alive"], dev["offsets"], dev["lens"], dev["owner"],
+                q, device_i32(ms_local),
+            )
         return fn(
             dev["cents"], dev["cvalid"], dev["xperm"], dev["sqnorm"],
             dev["alive"], dev["offsets"], dev["lens"], q, device_i32(ms_local),
         )
+
+    def _resolve_probe_cap(self, nprobe: int) -> int:
+        """Static owned-probe slots per shard (cluster layout's probe path):
+        an explicit int is clamped to [1, nprobe]; 'auto' provisions 4x the
+        balanced expectation, floor 8 — P(max shard load > 4x mean) is
+        negligible for random ownership, and the greedy LPT assignment
+        de-correlates neighboring clusters, but a hostile query distribution
+        can still concentrate: pass probe_cap=nprobe for the no-drop bound."""
+        if isinstance(self.probe_cap, int):
+            return max(1, min(self.probe_cap, nprobe))
+        return min(nprobe, max(8, 4 * -(-nprobe // self._ndev)))
 
     def _resolve_sharded_scan(self, dev: dict, batch: int, nprobe: int,
                               uncapped: bool) -> str:

@@ -45,3 +45,40 @@ def test_bench_run_config_on_glove_fvecs(tmp_path):
     )
     assert out["n_base"] == 500 and out["dim"] == 16
     assert out["recall_at_k"] >= 0.99  # exact flat on the glove vectors
+
+
+def test_zipf_cluster_sizes_and_generator():
+    from pyrope_tpu.utils.datasets import (
+        synthetic_zipf,
+        synthetic_zipf_queries,
+        zipf_cluster_sizes,
+    )
+
+    sizes = zipf_cluster_sizes(100_000, 100, alpha=1.0)
+    assert sizes.sum() == 100_000 and (sizes > 0).all()
+    # heavy tail: largest cluster ~ n/H(K) >> balanced n/K
+    assert sizes.max() > 10 * (100_000 // 100)
+    # deterministic
+    np.testing.assert_array_equal(sizes, zipf_cluster_sizes(100_000, 100))
+
+    base = synthetic_zipf(5000, 8, n_clusters=20)
+    assert base.shape == (5000, 8) and base.dtype == np.float32
+    np.testing.assert_array_equal(base, synthetic_zipf(5000, 8, n_clusters=20))
+    q = synthetic_zipf_queries(64, 8, n_clusters=20)
+    assert q.shape == (64, 8)
+
+
+def test_zipf_bench_config_smoke():
+    """ivf100k_zipf wiring at toy scale via the ZIPF branch (CPU)."""
+    import bench
+
+    bench.CONFIGS["_zipf_toy"] = ("IVF_FLAT", 3000, 16, {"nlist": 10})
+    bench.ZIPF.add("_zipf_toy")
+    try:
+        out = bench.run_config("_zipf_toy", batch=8, topk=5, n_queries=8,
+                               duration_s=0.1, with_oracle=False)
+        assert out["n_base"] == 3000
+        assert out["recall_at_k"] > 0.3  # skewed clusters, tiny nprobe
+    finally:
+        bench.CONFIGS.pop("_zipf_toy")
+        bench.ZIPF.discard("_zipf_toy")

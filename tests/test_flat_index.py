@@ -305,3 +305,83 @@ class TestHostWriteCheap:
         for i in range(4):
             d.add(str(i), np.ones(4, np.float32) * i)
         assert not d.host_write_cheap  # head bucket full
+
+
+# ---- hybrid exact path (bf16 Pallas scan + fp32-HIGHEST rerank) -------------
+
+def _hybrid_pair(n, dim, metric=Metric.L2, seed=3, selection="hybrid"):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    ids = [f"v{i}" for i in range(n)]
+    hy = FlatIndex(dim, metric, selection=selection)
+    hy.add_batch(ids, vecs)
+    ex = FlatIndex(dim, metric)
+    ex.add_batch(ids, vecs)
+    return hy, ex, vecs
+
+
+def _assert_same_hits(hy, ex, queries, k):
+    a = hy.search_batch(queries, k)
+    b = ex.search_batch(queries, k)
+    for ra, rb in zip(a, b):
+        assert [h.id for h in ra] == [h.id for h in rb]
+        for ha, hb in zip(ra, rb):
+            assert ha.score == pytest.approx(hb.score, rel=1e-5, abs=1e-5)
+
+
+def test_hybrid_matches_exact_l2():
+    hy, ex, vecs = _hybrid_pair(3000, 16)
+    q = np.random.default_rng(5).normal(size=(8, 16)).astype(np.float32)
+    _assert_same_hits(hy, ex, q, 10)
+    assert hy.describe_scan() == "flat-pallas-hybrid"
+
+
+def test_hybrid_matches_exact_ip_wide_k():
+    hy, ex, _ = _hybrid_pair(1500, 16, metric=Metric.INNER_PRODUCT)
+    q = np.random.default_rng(6).normal(size=(4, 16)).astype(np.float32)
+    _assert_same_hits(hy, ex, q, 100)  # wide k: bitonic shortlist inside
+
+
+def test_hybrid_explicit_shortlist_width():
+    hy, ex, _ = _hybrid_pair(2000, 8, selection="hybrid:128")
+    q = np.random.default_rng(7).normal(size=(4, 8)).astype(np.float32)
+    _assert_same_hits(hy, ex, q, 10)
+
+
+def test_hybrid_mutation_and_max_scans():
+    hy, ex, vecs = _hybrid_pair(1200, 8)
+    q = vecs[37] + 0.01
+    # delete the nearest row, then upsert a closer one (hits _scatter4)
+    for idx in (hy, ex):
+        idx.delete("v37")
+        idx.upsert("v999", (q + 0.001).astype(np.float32))
+    _assert_same_hits(hy, ex, q[None, :], 5)
+    hits = hy.search(q, 3)
+    assert hits[0].id == "v999"
+    opts = SearchOptions(max_scans=100)
+    a = hy.search_batch(q[None, :], 5, opts)[0]
+    b = ex.search_batch(q[None, :], 5, opts)[0]
+    assert [h.id for h in a] == [h.id for h in b]
+
+
+def test_hybrid_requires_fp32_storage():
+    with pytest.raises(ValueError):
+        FlatIndex(8, selection="hybrid", storage="bf16")
+
+
+def test_hybrid_cosine_falls_back_to_exact():
+    hy, _, vecs = _hybrid_pair(500, 8, metric=Metric.COSINE)
+    assert hy.describe_scan() == "flat-exact"
+    hits = hy.search(vecs[3], 1)
+    assert hits[0].id == "v3"
+
+
+def test_hybrid_routes_large_batches_to_fp32_pallas():
+    from pyrope_tpu.index.flat import HYBRID_MAX_BATCH
+
+    hy, ex, vecs = _hybrid_pair(1200, 8)
+    assert hy.describe_scan(batch=64) == "flat-pallas-hybrid"
+    assert hy.describe_scan(batch=HYBRID_MAX_BATCH + 1) == "flat-pallas"
+    # above the crossover the fp32 Pallas scan runs — still exact
+    q = np.random.default_rng(9).normal(size=(HYBRID_MAX_BATCH + 8, 8))
+    _assert_same_hits(hy, ex, q.astype(np.float32), 5)

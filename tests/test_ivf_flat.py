@@ -233,3 +233,60 @@ def test_selection_pallas_probe_mode_raises():
     # a max_scans budget is an explicit opt-out: XLA fallback is allowed
     hits = idx.search_batch(base[:8], 5, SearchOptions(max_scans=512))
     assert hits[0]
+
+
+def test_selection_hybrid_matches_dense_exact():
+    """hybrid (bf16 scan top-R + fp32-HIGHEST rerank) returns the same hit
+    sets and scores as the fp32 dense path."""
+    from pyrope_tpu.utils.datasets import synthetic
+
+    base = synthetic(4096, 16)
+    ids = [str(i) for i in range(4096)]
+    hy = IvfFlatIndex(16, "L2", nlist=8, nprobe=4, selection="hybrid",
+                      scan_mode="dense")
+    ex = IvfFlatIndex(16, "L2", nlist=8, nprobe=4, scan_mode="dense")
+    for idx in (hy, ex):
+        idx.add_batch(ids, base)
+        idx.build()
+    assert hy.describe_scan(8) == "dense-pallas-hybrid"
+    q = base[:8] + 0.01
+    ha = hy.search_batch(q, 10)
+    hb = ex.search_batch(q, 10)
+    for ra, rb in zip(ha, hb):
+        assert [h.id for h in ra] == [h.id for h in rb]
+        for x, y in zip(ra, rb):
+            assert abs(x.score - y.score) <= 1e-4 + 1e-5 * abs(y.score)
+
+
+def test_selection_hybrid_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="hybrid"):
+        IvfFlatIndex(8, "L2", selection="hybrid", compute_dtype="bfloat16")
+    with pytest.raises(ValueError, match="selection"):
+        IvfFlatIndex(8, "L2", selection="bogus")
+
+
+def test_selection_hybrid_windowed():
+    """Wide cluster table (kpad > PALLAS_IVF_MAX_KPAD) routes hybrid through
+    the windowed kernel; hit sets still match the exact XLA dense scan."""
+    from pyrope_tpu.utils.datasets import synthetic
+
+    n, nlist = 8192, 600
+    base = synthetic(n, 8)
+    ids = [str(i) for i in range(n)]
+    hy = IvfFlatIndex(8, "L2", nlist=nlist, nprobe=32, selection="hybrid",
+                      scan_mode="dense")
+    ex = IvfFlatIndex(8, "L2", nlist=nlist, nprobe=32, selection="exact",
+                      scan_mode="dense")
+    for idx in (hy, ex):
+        idx.add_batch(ids, base)
+        idx.build()
+    path = hy.describe_scan(8)
+    q = base[:8] + 0.01
+    ha = hy.search_batch(q, 10)
+    hb = ex.search_batch(q, 10)
+    for ra, rb in zip(ha, hb):
+        assert [h.id for h in ra] == [h.id for h in rb]
+    if path != "dense-pallas-win-hybrid":  # span overflow fell back (exact anyway)
+        assert path in ("dense-xla", "probe")

@@ -93,6 +93,101 @@ def test_flat_index_pallas_selection():
     assert all(h.id != "42" for h in hits)
 
 
+# ---- wide-k bitonic merge (k > RANK_MERGE_MAX_K) ----------------------------
+
+def _stable_ref(q, x, sq, alive, ms, k, metric):
+    """(value desc, row asc) reference order — np stable argsort."""
+    scores, _ = ref_topk(q, x, sq, alive, ms, k, metric)
+    return scores, np.argsort(-scores, axis=1, kind="stable")[:, :k]
+
+
+@pytest.mark.parametrize("k", [50, 100])
+def test_wide_k_bitonic_exact_order(k):
+    rng = np.random.default_rng(13)
+    n, b, d = 16384, 16, 16
+    x = rng.random((n, d), np.float32)
+    x[200] = x[100]          # duplicate rows force score ties
+    x[4096 + 7] = x[100]     # ...across tiles too
+    q = rng.random((b, d), np.float32)
+    q[0] = x[100]
+    sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[50:90] = False
+    ms = n - 100
+    vals, idx = pallas_flat_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        ms, k, Metric.L2,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    scores, ref_idx = _stable_ref(q, x, sq, alive, ms, k, Metric.L2)
+    np.testing.assert_array_equal(idx, ref_idx)  # exact order incl. ties
+    np.testing.assert_allclose(
+        vals, np.take_along_axis(scores, ref_idx, axis=1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_wide_k_fewer_live_than_k_reports_minus_one():
+    rng = np.random.default_rng(14)
+    n, b, d, k = 4096, 8, 16, 100
+    x = rng.random((n, d), np.float32)
+    q = rng.random((b, d), np.float32)
+    sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+    alive = np.zeros(n, bool)
+    alive[:7] = True
+    vals, idx = pallas_flat_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        n, k, Metric.L2,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    assert set(idx[0][:7]) == set(range(7))
+    assert (idx[:, 7:] == -1).all()
+    assert np.isneginf(vals[:, 7:]).all()
+
+
+def test_wide_k_fallback_matches_bitonic():
+    # a non-power-of-two row tile routes to the extract-max fallback; the
+    # hit lists must be identical to the bitonic path's
+    rng = np.random.default_rng(15)
+    n, b, d, k = 3072, 8, 16, 40
+    x = rng.random((n, d), np.float32)
+    q = rng.random((b, d), np.float32)
+    sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+    alive = np.ones(n, bool)
+    v1, i1 = pallas_flat_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        n, k, Metric.L2, row_tile=1536,  # non-pow2 -> fallback
+    )
+    v2, i2 = pallas_flat_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        n, k, Metric.L2, row_tile=1024,  # pow2 -> bitonic
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_wide_k_ivf_kernel():
+    from pyrope_tpu.ops.pallas_scan import pallas_ivf_topk
+
+    n, b, d, k, kc = 8192, 8, 16, 64, 17
+    x, q, sq, alive, crow, probed, probe = _mk_ivf_case(16, n, b, d, k, kc,
+                                                        Metric.L2)
+    vals, idx = pallas_ivf_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        jnp.asarray(crow), jnp.asarray(probed), k, Metric.L2,
+    )
+    idx = np.asarray(idx)
+    dots = q @ x.T
+    scores = -np.maximum((q * q).sum(1)[:, None] - 2 * dots + sq[None, :], 0)
+    member = np.stack([np.isin(crow, probe[bi]) for bi in range(b)])
+    scores = np.where(member & alive[None, :], scores, -np.inf)
+    ref_idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    ref_idx = np.where(
+        np.take_along_axis(scores, ref_idx, axis=1) > -np.inf, ref_idx, -1
+    )
+    np.testing.assert_array_equal(idx, ref_idx)
+
+
 # ---- fused dense-mask IVF kernel -------------------------------------------
 
 def _mk_ivf_case(seed, n, b, d, k, kc, metric):

@@ -612,3 +612,81 @@ def test_sharded_flat_pallas_parity_and_budget_rebase():
         assert sh.delete(h.id)
     a3 = sh.search_batch(q[:8], 10)
     assert not ({h.id for h in a3[0]} & {h.id for h in a[0][:3]})
+
+
+class TestClusterShardedIvf:
+    """shard_by='cluster' (VERDICT r3 #6): whole lists per shard, probes
+    routed to owners. Parity vs single-device on both kernels + LPT slab
+    balance under Zipf cluster-size skew."""
+
+    def _pair(self, n=4000, dim=32, nlist=16, zipf=False, **kw):
+        import numpy as np
+        import pyrope_tpu as pt
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+        from pyrope_tpu.utils.datasets import synthetic_zipf
+
+        rng = np.random.default_rng(3)
+        base = (synthetic_zipf(n, dim, n_clusters=nlist) if zipf
+                else rng.random((n, dim), dtype=np.float32))
+        ids = [str(i) for i in range(n)]
+        ref = pt.IvfFlatIndex(dim, "L2", nlist=nlist,
+                              scan_mode=kw.get("scan_mode", "auto"))
+        ref.add_batch(ids, base)
+        ref.build()
+        sh = ShardedIvfFlatIndex(dim, "L2", mesh=make_mesh(8), nlist=nlist,
+                                 shard_by="cluster", **kw)
+        sh.add_batch(ids, base)
+        sh.build()
+        return ref, sh, base, rng
+
+    def _assert_match(self, ref, sh, q, k, opts):
+        r_ref = ref.search_batch(q, k, opts)
+        r_sh = sh.search_batch(q, k, opts)
+        for a, b in zip(r_ref, r_sh):
+            assert [h.id for h in a] == [h.id for h in b]
+            for ha, hb in zip(a, b):
+                assert abs(ha.score - hb.score) < 1e-3
+
+    def test_cluster_probe_matches_single_device(self):
+        import pyrope_tpu as pt
+
+        ref, sh, base, rng = self._pair(scan_mode="probe")
+        q = rng.random((8, 32), dtype=np.float32)
+        self._assert_match(ref, sh, q, 10, pt.SearchOptions(nprobe=8))
+
+    def test_cluster_probe_no_drop_cap(self):
+        import pyrope_tpu as pt
+
+        # probe_cap = nprobe: every owned probe fits — exact parity even if
+        # one shard owned every probed list
+        ref, sh, base, rng = self._pair(scan_mode="probe", probe_cap=8)
+        q = rng.random((8, 32), dtype=np.float32)
+        self._assert_match(ref, sh, q, 10, pt.SearchOptions(nprobe=8))
+
+    def test_cluster_dense_matches_single_device(self):
+        import pyrope_tpu as pt
+
+        ref, sh, base, rng = self._pair(scan_mode="dense")
+        q = rng.random((8, 32), dtype=np.float32)
+        self._assert_match(ref, sh, q, 10, pt.SearchOptions(nprobe=8))
+
+    def test_cluster_lpt_balance_under_zipf(self):
+        import numpy as np
+
+        # Zipf sizes: largest natural cluster ~ n/H(K); greedy LPT must
+        # still balance per-shard slab populations
+        _, sh, _, _ = self._pair(n=8000, nlist=32, zipf=True)
+        dev = sh._sync()
+        per_shard = np.asarray(dev["lens"]).sum(axis=1).astype(float)
+        assert per_shard.max() <= 1.3 * per_shard.mean()
+        # ownership is a partition: every list has exactly one owner
+        lens_g = np.asarray(dev["lens"]).sum(axis=0)
+        owner = np.asarray(dev["owner"])
+        assert owner.shape[0] == lens_g.shape[0]
+
+    def test_cluster_validation(self):
+        import pytest
+        from pyrope_tpu.parallel import ShardedIvfFlatIndex, make_mesh
+
+        with pytest.raises(ValueError, match="shard_by"):
+            ShardedIvfFlatIndex(8, "L2", mesh=make_mesh(4), shard_by="bogus")
