@@ -324,6 +324,24 @@ CONFIGS = {
                                {"m": 16, "ef_construction": 200,
                                 "ef_search": 50, "batch": 256,
                                 "opts": {"ef_search": 200}}),
+    # tiny-batch latency cells (VERDICT r3 #8): HNSW's candidate region is
+    # small-batch point lookups where the graph walk touches ~ef*M rows vs
+    # the dense scan's nprobe/nlist fraction of the corpus. b1/b8 pairs at
+    # 1M clustered pin where (if anywhere) HNSW wins end-to-end on this
+    # hardware — the ~1.8 ms tunnel dispatch floor is identical for both,
+    # so device_ms_per_batch is the discriminating column
+    "hnsw1m_clustered_b1": ("HNSW", 1_000_000, 128,
+                            {"m": 16, "ef_construction": 200,
+                             "ef_search": 50, "batch": 1}),
+    "hnsw1m_clustered_b8": ("HNSW", 1_000_000, 128,
+                            {"m": 16, "ef_construction": 200,
+                             "ef_search": 50, "batch": 8}),
+    "ivf1m_clustered_b1": ("IVF_FLAT", 1_000_000, 128,
+                           {"nlist": 1000, "train_dtype": "bfloat16",
+                            "batch": 1}),
+    "ivf1m_clustered_b8": ("IVF_FLAT", 1_000_000, 128,
+                           {"nlist": 1000, "train_dtype": "bfloat16",
+                            "batch": 8}),
     # Zipf-skewed natural clusters (see ZIPF set below): same index configs
     # as the balanced clustered rows so skew cost reads directly off the A/B
     "ivf100k_zipf": ("IVF_FLAT", 100_000, 128, {"nlist": 100}),
@@ -344,7 +362,8 @@ CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "hnsw1m_clustered", "ivfpq1m_clustered", "ivfpq1m_adc",
              "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
              "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256",
-             "ivfpq1m_probe"}
+             "ivfpq1m_probe", "hnsw1m_clustered_b1", "hnsw1m_clustered_b8",
+             "ivf1m_clustered_b1", "ivf1m_clustered_b8"}
 # Zipf(1.0) cluster sizes: the largest natural cluster holds ~13% of the
 # corpus (vs 0.1% balanced) — stresses padded-CSR l_pad and the windowed
 # kernel's per-tile cluster spans (VERDICT r3 #7; in-image stand-in for
@@ -904,6 +923,37 @@ def run_config(
     return out
 
 
+def _merge_detail(results: list[dict]) -> None:
+    """Merge rows into BENCH_DETAIL.json keyed by (config, batch) so
+    single-config runs don't clobber the full sweep."""
+    detail = []
+    try:
+        with open("BENCH_DETAIL.json") as f:
+            detail = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    for r in detail:
+        # pre-r4 rows stored recall under 'recall_at_10' even for k=100
+        # rows (ADVICE r3): migrate to the k-keyed name on every merge
+        if "recall_at_10" in r:
+            r["recall_at_k"] = r.pop("recall_at_10")
+    merged = {(r["config"], r["batch"]): r for r in detail}
+    for r in results:
+        # recall_ref is deterministic per config (seeded data + reference
+        # semantics), so a re-run that skipped the oracle (e.g. a 1M row
+        # under the default --oracle-max-n) keeps the backfilled value
+        # from scripts/oracle_backfill.py instead of clobbering it to null
+        old = merged.get((r["config"], r["batch"]))
+        if old is not None and r.get("recall_ref") is None:
+            for k in ("recall_ref", "n_oracle", "recall_ref_e2e"):
+                if old.get(k) not in (None, 0):
+                    r[k] = old[k]
+        merged[(r["config"], r["batch"])] = r
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(sorted(merged.values(),
+                         key=lambda r: (r["config"], r["batch"])), f, indent=2)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     # Default = the driver-recorded headline. b4096 rather than b1024: the
@@ -964,44 +1014,22 @@ def main() -> None:
         names = [args.config]
 
     index_cache: dict = {}
-    results = [
-        run_device_config(n, args.topk, args.duration, index_cache=index_cache)
-        if n in DEVICE_CONFIGS
-        else run_config(
-            n, args.batch, args.topk, args.queries, args.duration,
-            base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
-            base_limit=args.base_limit, with_oracle=not args.no_oracle,
-            oracle_max_n=args.oracle_max_n, index_cache=index_cache,
-        )
-        for n in names
-    ]
-    # merge into BENCH_DETAIL.json keyed by (config, batch) so single-config
-    # runs don't clobber the full sweep
-    detail = []
-    try:
-        with open("BENCH_DETAIL.json") as f:
-            detail = json.load(f)
-    except (OSError, json.JSONDecodeError):
-        pass
-    for r in detail:
-        # pre-r4 rows stored recall under 'recall_at_10' even for k=100
-        # rows (ADVICE r3): migrate to the k-keyed name on every merge
-        if "recall_at_10" in r:
-            r["recall_at_k"] = r.pop("recall_at_10")
-    merged = {(r["config"], r["batch"]): r for r in detail}
-    for r in results:
-        # recall_ref is deterministic per config (seeded data + reference
-        # semantics), so a re-run that skipped the oracle (e.g. a 1M row
-        # under the default --oracle-max-n) keeps the backfilled value
-        # from scripts/oracle_backfill.py instead of clobbering it to null
-        old = merged.get((r["config"], r["batch"]))
-        if old is not None and r.get("recall_ref") is None:
-            for k in ("recall_ref", "n_oracle", "recall_ref_e2e"):
-                if old.get(k) not in (None, 0):
-                    r[k] = old[k]
-        merged[(r["config"], r["batch"])] = r
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(sorted(merged.values(), key=lambda r: (r["config"], r["batch"])), f, indent=2)
+    results = []
+    for n in names:
+        r = (run_device_config(n, args.topk, args.duration,
+                               index_cache=index_cache)
+             if n in DEVICE_CONFIGS
+             else run_config(
+                 n, args.batch, args.topk, args.queries, args.duration,
+                 base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
+                 base_limit=args.base_limit, with_oracle=not args.no_oracle,
+                 oracle_max_n=args.oracle_max_n, index_cache=index_cache,
+             ))
+        results.append(r)
+        # merge after EVERY row, not at process end: a wedged remote compile
+        # or a killed batch must not lose the rows already measured (lost
+        # two batches to this on 2026-08-19)
+        _merge_detail([r])
 
     head = next((r for r in results if r["config"] == "ivf100k"), results[0])
     baseline = head["baseline_qps"]

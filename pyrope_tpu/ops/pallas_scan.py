@@ -492,6 +492,24 @@ def _finish_topk(vals, idx, k: int):
     return vals, idx
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_flat_call(metric: Metric, k: int, b: int, n: int, d: int,
+                   x_dtype: str, row_tile: int, batch_tile: int,
+                   interpret: bool):
+    """One-dispatch caller: pallas kernel + the _finish_topk post-ops under
+    a single jit. Un-jitted per-call post-ops each cost a separate dispatch
+    through the TPU tunnel (~1.8 ms), which dominated b64 serving when the
+    kpad-wide flush moved the k-slice out of the kernel."""
+    fn = _build(metric, k, b, n, d, x_dtype, row_tile, batch_tile, interpret)
+
+    @jax.jit
+    def call(ms, q, x, sqnorm, alive):
+        vals, idx = fn(ms, q, x, sqnorm, alive)
+        return _finish_topk(vals, idx, k)
+
+    return call
+
+
 def pallas_flat_topk(
     q: jax.Array,
     x: jax.Array,
@@ -516,24 +534,24 @@ def pallas_flat_topk(
     b, d = q.shape
     n = x.shape[0]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
-        # the extract-max FALLBACK holds [Bt, k + row_tile] fused candidate
-        # temporaries: at Bt=128, k=100, T=4096 that is 19.2 MB of scoped
-        # vmem vs the 16 MB limit (measured compile OOM on v5e) — halve the
-        # batch tile. The bitonic wide-k path works on [Bt, row_tile] vregs
-        # and keeps the full batch tile.
+    if k > RANK_MERGE_MAX_K:
+        # wide-k merges exceed the 16 MB scoped-vmem stack at Bt=128:
+        # the extract-max fallback's [Bt, k + row_tile] fused candidates
+        # (19.2 MB at k=100/T=4096) and the bitonic tile sort's [Bt, T]
+        # value+index temporaries (17.2 MB measured AOT OOM) — cap the
+        # batch tile at 64 for every wide-k variant
         batch_tile = min(batch_tile, 64)
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
     interpret = jax.default_backend() not in ("tpu", "axon")
-    fn = _build(metric, k, b, n, d, str(x.dtype), row_tile, batch_tile, interpret)
+    call = _jit_flat_call(metric, k, b, n, d, str(x.dtype), row_tile,
+                          batch_tile, interpret)
     from pyrope_tpu.ops.scalars import device_i32x1
 
     ms = (max_scans if isinstance(max_scans, jax.Array)
           else device_i32x1(max_scans))
-    vals, idx = fn(ms, q, x, sqnorm, alive)
-    return _finish_topk(vals, idx, k)
+    return call(ms, q, x, sqnorm, alive)
 
 
 # ---- fused dense-mask IVF scan ---------------------------------------------
@@ -838,8 +856,8 @@ def pallas_ivf_topk_windowed(
     n = x.shape[0]
     kpad = probed_t.shape[0]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
-        batch_tile = min(batch_tile, 64)  # extract-max fallback vmem cap, see pallas_flat_topk
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
@@ -881,8 +899,8 @@ def pallas_ivf_topk(
     n = x.shape[0]
     kpad = probed.shape[1]
     row_tile = min(row_tile, n)
-    if k > RANK_MERGE_MAX_K and not _wide_params(k, row_tile)[1]:
-        batch_tile = min(batch_tile, 64)  # extract-max fallback vmem cap, see pallas_flat_topk
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap, see pallas_flat_topk
     batch_tile = min(batch_tile, b)
     if n % row_tile or b % batch_tile:
         raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")

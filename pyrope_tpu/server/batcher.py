@@ -183,3 +183,140 @@ class MicroBatcher:
                 "avg_batch": round(self.stats.avg_batch, 2),
                 "max_batch_seen": self.stats.max_batch_seen,
             }
+
+
+class _WriteGroup:
+    __slots__ = ("reqs", "upserts", "spans", "closed")
+
+    def __init__(self):
+        self.reqs: list = []
+        self.upserts: list[bool] = []
+        # (start, count, future) per submitter: a pipelined burst is ONE
+        # span/future for its whole row slice, not a future per row
+        self.spans: list = []
+        self.closed = False
+
+
+class AsyncWriteCoalescer:
+    """Event-loop write coalescing: concurrent per-row VEC.ADD/VEC.UPSERT
+    requests for the same (tenant, index, api_key) share ONE
+    engine.write_batch pass (one quota lease / auth / epoch bump / batched
+    write-heat probe; per-row results).
+
+    Absorption has two mechanisms, both with NO fixed wait window:
+
+    1. MicroBatcher-style gate contention: while an earlier batch holds the
+       execution gate (running in the executor), the open group keeps
+       absorbing arrivals from other connections' dispatch coroutines.
+    2. Leader drain rounds: a leader that acquires the gate UNCONTENDED
+       yields to the event loop twice (``asyncio.sleep(0)``) before closing
+       its group. Without this no coalescing ever happens in the inline
+       regime: executing on the loop blocks every other connection's read
+       callback, so followers could never interleave between batches
+       (measured max_batch_seen == 1 under 4 concurrent writers). The
+       drain rounds let the selector deliver already-queued socket data,
+       whose handlers join the still-open group — steady-state batch size
+       ≈ writer concurrency, while a solo write pays only two no-op yields.
+
+    A pipelined connection's burst arrives as ONE ``submit_many`` call (the
+    RESP handler parses every buffered write before submitting): one span +
+    one future for the whole slice — per-row futures/tasks measurably
+    dominated per-op cost at pipeline depth 64+.
+
+    Engine execution stays inline on the event loop below
+    ``inline_max`` rows (~19 us/row of host work beats a thread hop);
+    larger groups go to the default executor so a bulk burst cannot stall
+    concurrent searches for milliseconds.
+    """
+
+    def __init__(self, engine, max_batch: int = 256, inline_max: int = 16):
+        import asyncio
+
+        self.engine = engine
+        self.max_batch = max_batch
+        self.inline_max = inline_max
+        self._groups: dict[tuple, _WriteGroup] = {}
+        self._gate = asyncio.Lock()
+        self.stats = BatcherStats()
+
+    async def submit(self, req, upsert: bool):
+        """One logical write; may ride a shared engine pass. ``req`` is a
+        parsed WriteRequest (server/parser.py)."""
+        return (await self.submit_many([req], [upsert]))[0]
+
+    async def submit_many(self, reqs, upserts):
+        """A burst of writes sharing one (tenant, index, api_key) —
+        returns their WriteResponses in order. The burst joins the open
+        group as a single span (one future)."""
+        import asyncio
+
+        from pyrope_tpu.service import VectorRecord
+
+        r0 = reqs[0]
+        key = (r0.tenant, r0.index, r0.api_key)
+        group = self._groups.get(key)
+        leader = group is None or group.closed
+        if leader:
+            group = _WriteGroup()
+            self._groups[key] = group
+        start = len(group.reqs)
+        group.reqs.extend(reqs)
+        group.upserts.extend(upserts)
+        fut = asyncio.get_running_loop().create_future()
+        group.spans.append((start, len(reqs), fut))
+        if len(group.reqs) >= self.max_batch:
+            group.closed = True
+            self._groups.pop(key, None)
+
+        if leader:
+            async with self._gate:  # absorption window = prior batch's run
+                # drain rounds (docstring #2): let the loop deliver queued
+                # socket reads so concurrent writers join this group before
+                # it closes; no-op when the gate wait already absorbed them
+                for _ in range(2):
+                    if group.closed:
+                        break
+                    await asyncio.sleep(0)
+                if not group.closed:
+                    group.closed = True
+                    if self._groups.get(key) is group:
+                        self._groups.pop(key)
+                records = [
+                    VectorRecord(id=r.id, vector=r.vector, meta=r.meta,
+                                 tags=tuple(r.tags),
+                                 numeric_fields=r.numeric_fields)
+                    for r in group.reqs
+                ]
+                try:
+                    if len(records) <= self.inline_max:
+                        results = self.engine.write_batch(
+                            r0.tenant, r0.index, records, group.upserts,
+                            api_key=r0.api_key,
+                        )
+                    else:
+                        results = await asyncio.to_thread(
+                            self.engine.write_batch,
+                            r0.tenant, r0.index, records, group.upserts,
+                            api_key=r0.api_key,
+                        )
+                    self.stats.batches += 1
+                    self.stats.queries += len(records)
+                    self.stats.max_batch_seen = max(
+                        self.stats.max_batch_seen, len(records)
+                    )
+                    for s, c, f in group.spans:
+                        if not f.done():
+                            f.set_result(results[s : s + c])
+                except BaseException as e:
+                    for _, _, f in group.spans:
+                        if not f.done():
+                            f.set_exception(BatchError(str(e)))
+        return await fut
+
+    def to_dict(self) -> dict:
+        return {
+            "batches": self.stats.batches,
+            "writes": self.stats.queries,
+            "avg_batch": round(self.stats.avg_batch, 2),
+            "max_batch_seen": self.stats.max_batch_seen,
+        }

@@ -599,6 +599,82 @@ class PyropeEngine:
             if lease is not None:
                 lease.release()
 
+    def write_batch(
+        self,
+        tenant: str,
+        index: str,
+        records: Sequence[VectorRecord],
+        upserts: Sequence[bool],
+        *,
+        api_key: Optional[str] = None,
+    ) -> list[WriteResponse]:
+        """Coalesced per-row writes: N independent VEC.ADD/VEC.UPSERT
+        requests executed as one engine pass — per-row add/upsert semantics
+        and per-row results (so a duplicate ADD fails only its own row),
+        but ONE quota lease, ONE auth check, ONE batched write-heat probe
+        ([N, K] host matmul instead of N [1, K] probes), ONE billing record
+        and ONE epoch bump. The RESP server's write coalescer
+        (server/batcher.py AsyncWriteCoalescer) feeds this; counts as one
+        request against QPS/concurrency quotas like add_batch."""
+        n = len(records)
+        ok, lease, code, msg = self.quota.try_begin_request(tenant)
+        if not ok:
+            return [WriteResponse(False, code, msg)] * n
+        try:
+            if not self._authenticate(tenant, api_key):
+                return [WriteResponse(False, ec.VEC_ERR_AUTH,
+                                      "authentication failed")] * n
+            try:
+                validate_name(tenant, "tenant")
+                validate_name(index, "index")
+            except ValueError as e:
+                return [WriteResponse(False, ec.VEC_ERR_DIM, str(e))] * n
+            try:
+                state = self.registry.try_get(tenant, index) or self.registry.get_or_create(
+                    tenant, index, dim=records[0].vector.shape[0]
+                )
+            except ValueError as e:
+                return [WriteResponse(False, ec.VEC_ERR_DIM, str(e))] * n
+            out: list[WriteResponse] = []
+            delta_bytes = 0
+            heat_vecs: list[np.ndarray] = []
+            for rec, ups in zip(records, upserts):
+                if rec.vector.shape[0] != state.config.dim:
+                    out.append(WriteResponse(
+                        False, ec.VEC_ERR_DIM,
+                        f"dim mismatch: expected {state.config.dim}, "
+                        f"got {rec.vector.shape[0]}",
+                    ))
+                    continue
+                if ups:
+                    delta_bytes += self.store.upsert(tenant, index, rec)
+                    state.index.upsert(rec.id, rec.vector)
+                else:
+                    if not self.store.try_add(tenant, index, rec):
+                        out.append(WriteResponse(
+                            False, ec.VEC_ERR_NOT_FOUND,
+                            f"id already exists: {rec.id}",
+                        ))
+                        continue
+                    if not state.index.add(rec.id, rec.vector):
+                        state.index.upsert(rec.id, rec.vector)
+                    delta_bytes += rec.nbytes()
+                heat_vecs.append(rec.vector)
+                out.append(WriteResponse(True))
+            self.billing.record_vector_bytes(tenant, delta_bytes)
+            if heat_vecs:
+                near = self.clusters.find_nearest_batch(
+                    tenant, index, np.stack(heat_vecs)
+                )
+                if near is not None:
+                    for cid in near[0]:
+                        self.clusters.record_write(tenant, index, int(cid))
+            self.registry.increment_epoch(tenant, index)
+            return out
+        finally:
+            if lease is not None:
+                lease.release()
+
     def add_batch(
         self,
         tenant: str,

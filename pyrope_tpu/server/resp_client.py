@@ -25,6 +25,7 @@ class RespClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 6379, timeout: float = 30.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._buf = b""
+        self._out: list[bytes] = []  # queued pipelined commands (see send)
 
     def close(self) -> None:
         try:
@@ -40,7 +41,7 @@ class RespClient:
 
     # ---- wire ------------------------------------------------------------
 
-    def _send(self, *args: "bytes | str | int | float") -> None:
+    def _encode(self, *args: "bytes | str | int | float") -> bytes:
         out = b"*" + str(len(args)).encode() + b"\r\n"
         for a in args:
             if isinstance(a, (int, float)):
@@ -48,7 +49,10 @@ class RespClient:
             if isinstance(a, str):
                 a = a.encode()
             out += b"$" + str(len(a)).encode() + b"\r\n" + a + b"\r\n"
-        self._sock.sendall(out)
+        return out
+
+    def _send(self, *args: "bytes | str | int | float") -> None:
+        self._sock.sendall(self._encode(*args))
 
     def _readline(self) -> bytes:
         while b"\r\n" not in self._buf:
@@ -95,6 +99,30 @@ class RespClient:
 
     def execute(self, *args) -> Reply:
         self._send(*args)
+        return self._read_reply()
+
+    # ---- pipelining ---------------------------------------------------------
+
+    def send(self, *args) -> None:
+        """Queue one command without waiting for its reply (RESP
+        pipelining). Pair each send with a later read_reply() in order —
+        N outstanding commands amortize the per-op round trip and syscall
+        cost that dominates per-row ingest on a single-core host. Queued
+        commands buffer locally and hit the socket in ONE sendall at the
+        next read_reply()/flush() (one tiny send syscall per command was
+        measurable GIL/syscall churn at pipeline depth 64)."""
+        self._out.append(self._encode(*args))
+
+    def flush(self) -> None:
+        """Send all queued pipelined commands in one syscall."""
+        if self._out:
+            data = b"".join(self._out)
+            self._out.clear()
+            self._sock.sendall(data)
+
+    def read_reply(self) -> Reply:
+        """Read the next pipelined reply (FIFO order)."""
+        self.flush()
         return self._read_reply()
 
     # ---- convenience -------------------------------------------------------

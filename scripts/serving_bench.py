@@ -51,29 +51,126 @@ from load_test import run_cell, start_app  # noqa: E402  (same directory)
 
 
 def _upsert_worker(port: int, index: str, ids: list[str], vecs: np.ndarray,
-                   out: list, errors: list) -> None:
+                   out: list, errors: list, pipeline: int = 1) -> None:
     lat = []
     try:
         with RespClient("127.0.0.1", port, timeout=120) as c:
-            for i, vid in enumerate(ids):
-                t0 = time.perf_counter()
-                c.vec_upsert("lt", index, vid, encode_vector(vecs[i]))
-                lat.append((time.perf_counter() - t0) * 1000)
+            if pipeline <= 1:
+                for i, vid in enumerate(ids):
+                    t0 = time.perf_counter()
+                    c.vec_upsert("lt", index, vid, encode_vector(vecs[i]))
+                    lat.append((time.perf_counter() - t0) * 1000)
+            else:
+                # RESP pipelining: keep up to ``pipeline`` commands in
+                # flight per writer; latency is send->reply for each op
+                # (includes queueing behind the window, honestly)
+                n = len(ids)
+                sent: list[float] = []
+                i_send = i_read = 0
+                while i_read < n:
+                    while i_send < n and i_send - i_read < pipeline:
+                        sent.append(time.perf_counter())
+                        c.send("VEC.UPSERT", "lt", index, ids[i_send],
+                               "VECTOR", encode_vector(vecs[i_send]))
+                        i_send += 1
+                    r = c.read_reply()
+                    if r != "VEC_OK":
+                        raise RuntimeError(f"upsert reply: {r!r}")
+                    lat.append((time.perf_counter() - sent[i_read]) * 1000)
+                    i_read += 1
     except Exception as e:  # noqa: BLE001 — a dead writer must fail the cell
         errors.append(repr(e))
     out.append((len(lat), lat))
 
 
+def _proc_upsert_worker(port: int, index: str, lo: int, hi: int,
+                        vecs: np.ndarray, pipeline: int, q) -> None:
+    """Process-based pipelined writer: pre-encodes its command stream, then
+    runs a windowed send/receive loop with minimal per-op Python work.
+
+    Why processes: thread writers share the server's ONE core under the
+    GIL — profiled 18 ms per server socket.send (2 KB!), the send's GIL
+    reacquisition queueing behind 8 compute-hot client threads at the
+    default 5 ms switch interval. Separate processes let the OS scheduler
+    arbitrate at ~100 us granularity, which is also the honest model of a
+    remote load generator (the reference's SE.Redis clients did not run
+    inside Garnet's GIL)."""
+    try:
+        from pyrope_tpu.server.resp_client import RespClient
+
+        c = RespClient("127.0.0.1", port, timeout=120)
+        enc = c._encode
+        cmds = [
+            enc("VEC.UPSERT", "lt", index, f"v{i}", "VECTOR",
+                encode_vector(vecs[i - lo]))
+            for i in range(lo, hi)
+        ]
+        n = len(cmds)
+        lat: list[float] = []
+        sock = c._sock
+        t_start = time.perf_counter()
+        i_send = i_read = 0
+        while i_read < n:
+            j = min(i_send + pipeline - (i_send - i_read), n)
+            if j > i_send:
+                t0 = time.perf_counter()
+                sock.sendall(b"".join(cmds[i_send:j]))
+                i_send = j
+            r = c._read_reply()
+            if r != "VEC_OK":
+                raise RuntimeError(f"upsert reply: {r!r}")
+            lat.append((time.perf_counter() - t0) * 1000)
+            i_read += 1
+        wall = time.perf_counter() - t_start
+        c.close()
+        q.put((n, wall, lat[:: max(1, n // 1000)], None))
+    except Exception as e:  # noqa: BLE001
+        q.put((0, 0.0, [], repr(e)))
+
+
 def run_upsert_cell(port: int, index: str, base: np.ndarray,
-                    writers: int = 4) -> dict:
+                    writers: int = 4, pipeline: int = 1,
+                    procs: bool = False) -> dict:
     """Load ``base`` through concurrent RESP VEC.UPSERT writers (disjoint id
     ranges), reference-style: 4 writer workers, vec/s over the whole load
     (ref: benchmarks Program.cs load phase; BASELINE.md 'Vector load
-    throughput')."""
+    throughput'). ``procs`` runs writers as processes (see
+    _proc_upsert_worker for why that is the honest client model)."""
     from pyrope_tpu.utils.stats import LatencySummary
 
     n = len(base)
     bounds = np.linspace(0, n, writers + 1, dtype=int)
+    if procs:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        q = ctx.Queue()
+        ps = [
+            ctx.Process(
+                target=_proc_upsert_worker,
+                args=(port, index, int(bounds[w]), int(bounds[w + 1]),
+                      base[bounds[w]:bounds[w + 1]], pipeline, q),
+            )
+            for w in range(writers)
+        ]
+        t0 = time.perf_counter()
+        for p in ps:
+            p.start()
+        rows = [q.get(timeout=600) for _ in ps]
+        for p in ps:
+            p.join()
+        wall = time.perf_counter() - t0
+        total = sum(r[0] for r in rows)
+        errors = [r[3] for r in rows if r[3]]
+        s = LatencySummary.from_samples([x for r in rows for x in r[2]] or [0])
+        return {
+            "cell": "upsert", "writers": writers, "pipeline": pipeline,
+            "writer_procs": True, "n": n,
+            "vec_per_s": round(total / wall, 1),
+            "p50_ms": round(s.p50_ms, 2), "p99_ms": round(s.p99_ms, 2),
+            "requests": total, "errors": len(errors),
+            "error_sample": errors[:3],
+        }
     results: list = []
     errors: list = []
     threads = [
@@ -81,7 +178,7 @@ def run_upsert_cell(port: int, index: str, base: np.ndarray,
             target=_upsert_worker,
             args=(port, index,
                   [f"v{i}" for i in range(bounds[w], bounds[w + 1])],
-                  base[bounds[w]:bounds[w + 1]], results, errors),
+                  base[bounds[w]:bounds[w + 1]], results, errors, pipeline),
         )
         for w in range(writers)
     ]
@@ -94,7 +191,7 @@ def run_upsert_cell(port: int, index: str, base: np.ndarray,
     total = sum(k for k, _ in results)
     s = LatencySummary.from_samples([x for _, ls in results for x in ls])
     return {
-        "cell": "upsert", "writers": writers, "n": n,
+        "cell": "upsert", "writers": writers, "pipeline": pipeline, "n": n,
         "vec_per_s": round(total / wall, 1),
         "p50_ms": round(s.p50_ms, 2), "p99_ms": round(s.p99_ms, 2),
         "requests": total, "errors": len(errors), "error_sample": errors[:3],
@@ -115,6 +212,12 @@ def main() -> None:
                     default=["search", "upsert", "cache_hit"],
                     choices=["search", "upsert", "cache_hit"])
     ap.add_argument("--writers", type=int, default=4)
+    ap.add_argument("--pipeline", type=int, default=1,
+                    help="outstanding VEC.UPSERTs per writer (RESP pipelining)")
+    ap.add_argument("--writer-procs", action="store_true",
+                    help="writers as processes, not threads (no GIL convoy "
+                         "with the in-process server; the honest model of "
+                         "a remote load generator)")
     ap.add_argument("--inflight", type=int, default=None,
                     help="override MicroBatcher max_inflight (A/B: on a "
                          "GIL-bound 1-core host, 1 maximizes coalescing; "
@@ -164,7 +267,10 @@ def main() -> None:
             IndexConfig(dim=args.dim, algorithm="IVF_FLAT",
                         params=IndexParams.from_dict({"nlist": 100})),
         )
-        cell = run_upsert_cell(port, "ingest", base, writers=args.writers)
+        cell = run_upsert_cell(port, "ingest", base, writers=args.writers,
+                               pipeline=args.pipeline,
+                               procs=args.writer_procs)
+        cell["coalescer"] = app.resp.write_coalescer.to_dict()
         out["cells"].append(cell)
         print(json.dumps(cell), file=sys.stderr)
 

@@ -207,3 +207,71 @@ def test_concurrent_clients(srv):
     assert len(out) == 4
     with srv.client() as c:
         assert c.vec_stats("tc", "cc")["count"] == 40
+
+
+# ---- write coalescing (engine.write_batch + AsyncWriteCoalescer) -----------
+
+def test_concurrent_writers_coalesce(srv):
+    """Concurrent per-row VEC.UPSERTs share engine.write_batch passes; every
+    row lands and is searchable, and the coalescer saw multi-row groups."""
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(160, 8)).astype(np.float32)
+    # prime: the FIRST write auto-creates the index on the thread-pool path
+    # (host_write_cheap is unknowable before the index exists), so it never
+    # rides the coalescer — create the index before counting
+    with srv.client() as c:
+        assert c.vec_upsert("t", "coal", "prime",
+                            encode_vector(vecs[0])) == "VEC_OK"
+    before = srv.server.write_coalescer.stats.queries
+
+    def writer(w):
+        with srv.client() as c:
+            for i in range(w * 40, (w + 1) * 40):
+                assert c.vec_upsert("t", "coal", f"w{i}",
+                                    encode_vector(vecs[i])) == "VEC_OK"
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    st = srv.server.write_coalescer.to_dict()
+    assert srv.server.write_coalescer.stats.queries - before == 160
+    # the drain rounds must produce real multi-row groups under 4
+    # concurrent writers (1 would mean every write ran solo)
+    assert st["max_batch_seen"] >= 2
+    with srv.client() as c:
+        hits = c.vec_search("t", "coal", encode_vector(vecs[7]), 1)
+        assert hits[0][0] == "w7"
+
+
+def test_write_batch_per_row_errors(srv):
+    """A duplicate ADD inside a coalesced group fails only its own row."""
+    from pyrope_tpu.service import VectorRecord
+
+    v = np.ones(8, np.float32)
+    recs = [VectorRecord(id="dup", vector=v), VectorRecord(id="dup", vector=v),
+            VectorRecord(id="okx", vector=v * 2),
+            VectorRecord(id="bad", vector=np.ones(5, np.float32))]
+    out = srv.engine.write_batch("t", "wb", recs, [False] * 4)
+    assert [r.ok for r in out] == [True, False, True, False]
+    assert "exists" in out[1].error_message
+    assert "dim" in out[3].error_message
+    # upsert of the same id succeeds per-row
+    out2 = srv.engine.write_batch("t", "wb", recs[:1], [True])
+    assert out2[0].ok
+
+
+def test_pipelined_writer_roundtrip(srv):
+    """RESP pipelining: N outstanding upserts on one connection, replies in
+    FIFO order."""
+    rng = np.random.default_rng(4)
+    vecs = rng.normal(size=(32, 8)).astype(np.float32)
+    with srv.client() as c:
+        for i in range(32):
+            c.send("VEC.UPSERT", "t", "pipe", f"p{i}", "VECTOR",
+                   encode_vector(vecs[i]))
+        for i in range(32):
+            assert c.read_reply() == "VEC_OK"
+        hits = c.vec_search("t", "pipe", encode_vector(vecs[11]), 1)
+        assert hits[0][0] == "p11"
