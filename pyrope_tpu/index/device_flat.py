@@ -154,14 +154,21 @@ class DeviceFlatIndex(VectorIndex):
             Metric.INNER_PRODUCT if self.metric == Metric.COSINE else self.metric
         )
         if self.selection == "pallas":
-            from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
+            from pyrope_tpu.ops.pallas_scan import (
+                pallas_flat_topk,
+                pick_row_tile,
+            )
 
             b = q.shape[0]
             bt = min(next_pow2(max(b, 8)), 128)  # see FlatIndex._search_device
             qp = jnp.pad(q, ((0, bt - b % bt), (0, 0))) if b % bt else q
             vals, rows = pallas_flat_topk(
                 qp, dev["vecs"], dev["sqnorm"], dev["alive"], ms_int, top_k,
-                search_metric, row_tile=min(SLAB_ALIGN, dev["vecs"].shape[0]),
+                search_metric,
+                row_tile=pick_row_tile(
+                    dev["vecs"].shape[0], self.dim, str(dev["vecs"].dtype),
+                    cap=SLAB_ALIGN,
+                ),
                 batch_tile=bt,
             )
             return vals[:b], rows[:b]

@@ -475,7 +475,9 @@ class FlatIndex(VectorIndex):
             # scoped-vmem stack under jit (measured AOT OOM on v5e)
             bt = min(next_pow2(max(b, 8)), 64)
             qp = jnp.pad(q, ((0, bt - b % bt), (0, 0))) if b % bt else q
-            rt = min(4096, self._cap)
+            from pyrope_tpu.ops.pallas_scan import pick_row_tile
+
+            rt = pick_row_tile(self._cap, self.dim, "bfloat16")
             r = hybrid_shortlist(top_k, parse_selection(self.selection)[1], rt)
             fn = _hybrid_search_fn(self.metric, top_k, r, rt, bt)
             vals, rows = fn(dev["vecs"], dev["vecs16"], dev["sqnorm"],
@@ -489,7 +491,10 @@ class FlatIndex(VectorIndex):
             # R-wide bitonic merge costs more than the fp32 slab's extra
             # bandwidth+passes (measured same-day 52k vs 109k QPS at 262k),
             # and this fp32 scan is exact by construction
-            from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
+            from pyrope_tpu.ops.pallas_scan import (
+                pallas_flat_topk,
+                pick_row_tile,
+            )
             from pyrope_tpu.utils.shapes import next_pow2
 
             b = q.shape[0]
@@ -498,7 +503,7 @@ class FlatIndex(VectorIndex):
             # b1024/100k); 128 is the VMEM ceiling at row_tile 4096
             bt = min(next_pow2(max(b, 8)), 128)
             qp = jnp.pad(q, ((0, bt - b % bt), (0, 0))) if b % bt else q
-            rt = min(4096, self._cap)
+            rt = pick_row_tile(self._cap, self.dim, str(dev["vecs"].dtype))
             vals, rows = pallas_flat_topk(
                 qp, dev["vecs"], dev["sqnorm"], dev["alive"], ms_int, top_k,
                 self.metric, row_tile=rt, batch_tile=bt,

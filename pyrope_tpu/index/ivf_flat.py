@@ -245,7 +245,7 @@ def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
     keeps a running top-k in VMEM — no [B, N] score/mask materialization
     (see ops/pallas_scan.pallas_ivf_topk). Full-scan semantics only: callers
     route max_scans budgets to the XLA kernels."""
-    from pyrope_tpu.ops.pallas_scan import pallas_ivf_topk
+    from pyrope_tpu.ops.pallas_scan import pallas_ivf_topk, pick_row_tile
 
     @jax.jit
     def fn(cents, cvalid, xperm, sqnorm, alive, offsets, lens, crow, q, max_scans):
@@ -255,10 +255,13 @@ def _ivf_dense_pallas_fn(metric: Metric, k: int, nprobe: int,
         )
         probed = probed_table(probe, cents.shape[0])
         b = q.shape[0]
+        # fp32-based tile regardless of slab dtype: must match the grid
+        # tile_cluster_windows used in _tables (fp32 is the widest slab)
+        rt = pick_row_tile(xperm.shape[0], xperm.shape[1], "float32")
         return pallas_ivf_topk(
             q, xperm, sqnorm, alive, crow, probed, k, metric,
             promote_fp32=promote,
-            row_tile=min(4096, xperm.shape[0]), batch_tile=min(128, b),
+            row_tile=rt, batch_tile=min(128, b),
         )
 
     return fn
@@ -276,6 +279,7 @@ def _ivf_dense_pallas_win_fn(metric: Metric, k: int, nprobe: int,
     from pyrope_tpu.ops.pallas_scan import (
         PALLAS_IVF_WINDOW,
         pallas_ivf_topk_windowed,
+        pick_row_tile,
     )
 
     @jax.jit
@@ -287,10 +291,12 @@ def _ivf_dense_pallas_win_fn(metric: Metric, k: int, nprobe: int,
         )
         probed_t = probed_table_t(probe, cents.shape[0], PALLAS_IVF_WINDOW)
         b = q.shape[0]
+        # fp32-based tile: must match the grid tile_clo was built for
+        rt = pick_row_tile(xperm.shape[0], xperm.shape[1], "float32")
         return pallas_ivf_topk_windowed(
             q, xperm, sqnorm, alive, crow, probed_t, tile_clo, k, metric,
             promote_fp32=promote,
-            row_tile=min(4096, xperm.shape[0]), batch_tile=min(128, b),
+            row_tile=rt, batch_tile=min(128, b),
         )
 
     return fn
@@ -310,6 +316,7 @@ def _ivf_dense_pallas_hybrid_fn(metric: Metric, k: int, r: int, nprobe: int,
         PALLAS_IVF_WINDOW,
         pallas_ivf_topk,
         pallas_ivf_topk_windowed,
+        pick_row_tile,
     )
 
     @jax.jit
@@ -320,7 +327,9 @@ def _ivf_dense_pallas_hybrid_fn(metric: Metric, k: int, r: int, nprobe: int,
             probe_metric or metric, None,
         )
         b = q.shape[0]
-        rt = min(4096, xperm16.shape[0])
+        # fp32-based tile even on the bf16 twin slab: the windowed variant
+        # shares tile_clo with the fp32 kernels, so the grids must agree
+        rt = pick_row_tile(xperm16.shape[0], xperm16.shape[1], "float32")
         # 64 not 128: the R-wide bitonic merge OOMs the 16M scoped-vmem
         # stack at batch_tile 128 under jit (see index/flat.py hybrid path)
         bt = min(64, b)
@@ -624,12 +633,16 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         from pyrope_tpu.ops.pallas_scan import (
             PALLAS_IVF_MAX_KPAD,
             padded_probe_width,
+            pick_row_tile,
             tile_cluster_windows,
         )
 
         if kpad > PALLAS_IVF_MAX_KPAD:  # narrow tables use the plain kernel
+            # fp32-based dim-aware tile: the SAME pick the dense-Pallas fns
+            # make at call time (the tile_clo grid must match the kernel's)
             tile_clo, win_ok = tile_cluster_windows(
-                crow, n, npad, min(4096, npad), padded_probe_width(kpad)
+                crow, n, npad, pick_row_tile(npad, self.dim, "float32"),
+                padded_probe_width(kpad),
             )
         return {
             "k": k, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,

@@ -550,12 +550,14 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
         from pyrope_tpu.ops.pallas_scan import (
             PALLAS_IVF_MAX_KPAD,
             padded_probe_width,
+            pick_row_tile,
             tile_cluster_windows,
         )
 
         if kpad > PALLAS_IVF_MAX_KPAD:
             tile_clo, win_ok = tile_cluster_windows(
-                crow, n, npad, min(4096, npad), padded_probe_width(kpad)
+                crow, n, npad, pick_row_tile(npad, self.dim, "float32"),
+                padded_probe_width(kpad),
             )
         return {
             "k": kc, "kpad": kpad, "l_pad": l_pad, "n": n, "npad": npad,

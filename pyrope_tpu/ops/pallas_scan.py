@@ -38,6 +38,26 @@ from pyrope_tpu.types import Metric
 # 4.05 ms for XLA score+top_k) — exact, overlap 1.0
 DEFAULT_ROW_TILE = 4096
 DEFAULT_BATCH_TILE = 64
+# The [row_tile, D] corpus tile is the dominant scoped-vmem term (the Pallas
+# pipeline double-buffers it). Cap a single buffer at 4 MB so the pair plus
+# the [Bt, T] score/merge temporaries stay inside the 16 MB scoped-vmem
+# stack: d=768 fp32 at row_tile 4096 measured a 24.65 MB AOT OOM on v5e
+# (two 12.6 MB x-tile buffers); d=128 keeps the full 4096 tile.
+X_TILE_BUDGET_BYTES = 4 * 1024 * 1024
+
+
+def pick_row_tile(n: int, d: int, dtype="float32",
+                  cap: int = DEFAULT_ROW_TILE) -> int:
+    """Largest power-of-two row tile <= cap whose [row_tile, d] corpus tile
+    fits ``X_TILE_BUDGET_BYTES`` (floor 256), clamped to n. Callers that
+    share one tile_clo table across fp32/bf16 slabs (the windowed IVF
+    kernels) must pass the WIDEST dtype so every kernel sees the same grid
+    as the table."""
+    itemsize = jnp.dtype(dtype).itemsize
+    rt = cap
+    while rt > 256 and rt * d * itemsize > X_TILE_BUDGET_BYTES:
+        rt //= 2
+    return min(rt, n)
 NEG_INF = -3.4e38  # finite sentinel (python float: jnp scalars cannot be captured by kernels)
 RANK_MERGE_MAX_K = 32  # above this, _merge_tile uses the full extract-max merge
 import os as _os

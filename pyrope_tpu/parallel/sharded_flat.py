@@ -290,8 +290,12 @@ class ShardedFlatIndex(FlatIndex):
                 fn = make_sharded_sq8_search(self.mesh, self.metric, k,
                                              self.compute_dtype)
             elif kind == "pallas":
-                fn = make_sharded_pallas_search(self.mesh, self.metric, k,
-                                                min(4096, rows_local))
+                from pyrope_tpu.ops.pallas_scan import pick_row_tile
+
+                fn = make_sharded_pallas_search(
+                    self.mesh, self.metric, k,
+                    pick_row_tile(rows_local, self.dim, "float32"),
+                )
             else:
                 fn = make_sharded_search(self.mesh, self.metric, k,
                                          self.compute_dtype)

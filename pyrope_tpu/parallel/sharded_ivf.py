@@ -211,7 +211,7 @@ def make_sharded_ivf_cluster_probe_search(
 
 
 def shard_tile_windows(crow_l: np.ndarray, local_lens: np.ndarray,
-                       cap_local: int, kpad: int):
+                       cap_local: int, kpad: int, dim: int = 128):
     """Per-shard fused-Pallas windowed-kernel eligibility (shared by the
     sharded IVF-Flat and IVF-PQ _sync): every local slab is cluster-major
     (cursor construction in roundrobin_layout), so the windowed kernel's
@@ -222,11 +222,13 @@ def shard_tile_windows(crow_l: np.ndarray, local_lens: np.ndarray,
     from pyrope_tpu.ops.pallas_scan import (
         PALLAS_IVF_MAX_KPAD,
         padded_probe_width,
+        pick_row_tile,
         tile_cluster_windows,
     )
 
     nd = crow_l.shape[0]
-    row_tile = min(4096, cap_local)
+    # fp32-based dim-aware tile (scoped-vmem; see ops/pallas_scan.pick_row_tile)
+    row_tile = pick_row_tile(cap_local, dim, "float32")
     n_tiles = max(cap_local // row_tile, 1)
     tile_clo = np.zeros((nd, n_tiles), np.int32)
     if kpad <= PALLAS_IVF_MAX_KPAD:
@@ -504,7 +506,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             cvalid[:k] = True
 
         tile_clo, win_ok, row_tile = shard_tile_windows(
-            crow_l, local_lens, cap_local, kpad
+            crow_l, local_lens, cap_local, kpad, self.dim
         )
 
         row3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))

@@ -283,7 +283,7 @@ class ShardedIvfPqIndex(IvfPqIndex):
         from pyrope_tpu.parallel.sharded_ivf import shard_tile_windows
 
         tile_clo, win_ok, row_tile = shard_tile_windows(
-            crow_l, local_lens, cap_local, kpad
+            crow_l, local_lens, cap_local, kpad, self.dim
         )
 
         cents = np.zeros((kpad, self.dim), np.float32)

@@ -394,3 +394,70 @@ def test_ivf_index_windowed_matches_probe():
         assert [h.id for h in ha] == [h.id for h in hb]
         assert np.allclose([h.score for h in ha], [h.score for h in hb],
                            atol=1e-4)
+
+
+def test_pick_row_tile_dim_aware():
+    """High-dim slabs must shrink the row tile so the double-buffered
+    [row_tile, D] corpus tile stays inside the 16 MB scoped-vmem stack
+    (d=768 fp32 at row_tile 4096 measured a 24.65 MB AOT OOM on v5e)."""
+    from pyrope_tpu.ops.pallas_scan import X_TILE_BUDGET_BYTES, pick_row_tile
+
+    assert pick_row_tile(1_000_000, 128, "float32") == 4096
+    assert pick_row_tile(1_000_000, 128, "bfloat16") == 4096
+    rt768 = pick_row_tile(1_000_000, 768, "float32")
+    assert rt768 * 768 * 4 <= X_TILE_BUDGET_BYTES
+    assert rt768 == 1024
+    assert pick_row_tile(1_000_000, 768, "bfloat16") == 2048
+    assert pick_row_tile(1_000_000, 1024, "float32") == 1024
+    # floor + n clamp
+    assert pick_row_tile(1_000_000, 65536, "float32") == 256
+    assert pick_row_tile(640, 768, "float32") == 640
+    # every pick divides the 4096-aligned slab padding
+    for d in (64, 128, 256, 768, 1024, 2048):
+        assert 4096 % pick_row_tile(10**6, d, "float32") == 0
+
+
+def test_high_dim_flat_kernel_vs_numpy():
+    """The fused flat kernel at an embedding-realistic width (d=768) — the
+    shape that OOM'd scoped vmem before row tiles became dim-aware."""
+    from pyrope_tpu.ops.pallas_scan import pick_row_tile
+
+    rng = np.random.default_rng(7)
+    n, b, d, k = 4096, 16, 768, 10
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(b, d)).astype(np.float32)
+    sq = np.einsum("nd,nd->n", x, x).astype(np.float32)
+    alive = np.ones(n, bool)
+    rt = pick_row_tile(n, d, "float32")
+    assert rt < n  # the dim-aware pick actually kicked in
+    vals, idx = pallas_flat_topk(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(sq), jnp.asarray(alive),
+        n, k, Metric.L2, row_tile=rt,
+    )
+    idx = np.asarray(idx)
+    _, ref_idx = ref_topk(q, x, sq, alive, n, k, Metric.L2)
+    for bi in range(b):
+        assert set(idx[bi]) == set(ref_idx[bi])
+
+
+def test_high_dim_ivf_windowed_index():
+    """IVF dense-window path at d=768 with a wide cluster table: the config
+    class that hit the scoped-vmem OOM (ivf1m_d768). Verifies the build-time
+    tile_clo grid matches the call-time kernel grid."""
+    import pyrope_tpu as pt
+
+    rng = np.random.default_rng(13)
+    n, d = 6000, 768
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    ids = [str(i) for i in range(n)]
+    q = rng.normal(size=(4, d)).astype(np.float32)
+    a = pt.IvfFlatIndex(d, "L2", nlist=600, nprobe=64, scan_mode="probe")
+    b = pt.IvfFlatIndex(d, "L2", nlist=600, nprobe=64, scan_mode="dense")
+    for ix in (a, b):
+        ix.add_batch(ids, base)
+        ix.build()
+    assert b.describe_scan(4) == "dense-pallas-win", b.describe_scan(4)
+    ra = a.search_batch(q, 10)
+    rb = b.search_batch(q, 10)
+    for ha, hb in zip(ra, rb):
+        assert [h.id for h in ha] == [h.id for h in hb]
