@@ -26,8 +26,11 @@ from pyrope_tpu.ops.topk import masked_topk
 from pyrope_tpu.parallel.mesh import (
     BATCH_AXIS,
     DATA_AXIS,
-    allgather_merge_topk,
     default_mesh,
+    flat_row_shard_index,
+    hierarchical_merge_topk,
+    row_axes,
+    row_shard_count,
 )
 from pyrope_tpu.types import Metric
 from pyrope_tpu.utils.shapes import round_up
@@ -39,21 +42,25 @@ def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None)
     replicated output. On a 2-D ``batch × data`` mesh the query batch is
     ALSO sharded over BATCH_AXIS (each batch group scans the whole corpus
     across its data row; output sharded over batch) — the layout for
-    serving fleets where one replica group handles a slice of traffic."""
+    serving fleets where one replica group handles a slice of traffic.
+
+    On a multi-slice ``slice × data`` mesh (mesh.make_mesh_multislice) rows
+    shard over BOTH axes and the merge is hierarchical: ICI within the
+    slice first, one [B, k] list per slice over DCN after."""
     cdtype = None if compute is None else jnp.dtype(compute)
     two_d = BATCH_AXIS in mesh.axis_names
+    raxes = row_axes(mesh)
 
     def local(vecs, sqnorm, alive, q, ms):
         rows_local = vecs.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS)
-        base = shard * rows_local
+        base = flat_row_shard_index(mesh) * rows_local
         grow = base + jax.lax.broadcasted_iota(jnp.int32, (rows_local, 1), 0)[:, 0]
         scores = score_matrix(q, vecs, metric, x_sqnorm=sqnorm, compute_dtype=cdtype)
         mask = alive & (grow < ms)
         vals, idx = masked_topk(scores, mask[None, :], k)
         gidx = jnp.where(idx >= 0, idx + base, -1)
-        # ICI all-gather of the tiny [B, k] candidate sets, merge everywhere
-        return allgather_merge_topk(vals, gidx, k)
+        # tiny [B, k] candidate sets: ICI all-gather, then DCN if multi-slice
+        return hierarchical_merge_topk(vals, gidx, k, mesh)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (
@@ -64,7 +71,7 @@ def make_sharded_search(mesh: Mesh, metric: Metric, k: int, compute: str | None)
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), q_spec, P()),
+        in_specs=(P(raxes, None), P(raxes), P(raxes), q_spec, P()),
         out_specs=out_spec,
         check_vma=False,
     )
@@ -82,11 +89,11 @@ def make_sharded_pallas_search(mesh: Mesh, metric: Metric, k: int,
     from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
 
     two_d = BATCH_AXIS in mesh.axis_names
+    raxes = row_axes(mesh)
 
     def local(vecs, sqnorm, alive, q, ms):
         rows_local = vecs.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS)
-        base = shard * rows_local
+        base = flat_row_shard_index(mesh) * rows_local
         ms_local = jnp.clip(
             ms.astype(jnp.int32) - base, 0, rows_local
         ).reshape(1)
@@ -96,7 +103,7 @@ def make_sharded_pallas_search(mesh: Mesh, metric: Metric, k: int,
             row_tile=row_tile, batch_tile=bt,
         )
         gidx = jnp.where(idx >= 0, idx + base, -1)
-        return allgather_merge_topk(vals, gidx, k)
+        return hierarchical_merge_topk(vals, gidx, k, mesh)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (
@@ -107,7 +114,7 @@ def make_sharded_pallas_search(mesh: Mesh, metric: Metric, k: int,
     fn = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), q_spec, P()),
+        in_specs=(P(raxes, None), P(raxes), P(raxes), q_spec, P()),
         out_specs=out_spec,
         check_vma=False,
     )
@@ -120,17 +127,17 @@ def make_sharded_sq8_search(mesh: Mesh, metric: Metric, k: int, compute: str | N
     the r1 sharded-family gap (VERDICT r1 missing #4 / parallel matrix)."""
     cdtype = jnp.bfloat16 if compute is None else jnp.dtype(compute)
     two_d = BATCH_AXIS in mesh.axis_names
+    raxes = row_axes(mesh)
 
     def local(codes, mins, scales, sqnorm, alive, q, ms):
         rows_local = codes.shape[0]
-        shard = jax.lax.axis_index(DATA_AXIS)
-        base = shard * rows_local
+        base = flat_row_shard_index(mesh) * rows_local
         grow = base + jax.lax.broadcasted_iota(jnp.int32, (rows_local, 1), 0)[:, 0]
         scores = sq8_scores(codes, mins, scales, sqnorm, q, metric, cdtype)
         mask = alive & (grow < ms)
         vals, idx = masked_topk(scores, mask[None, :], k)
         gidx = jnp.where(idx >= 0, idx + base, -1)
-        return allgather_merge_topk(vals, gidx, k)
+        return hierarchical_merge_topk(vals, gidx, k, mesh)
 
     q_spec = P(BATCH_AXIS, None) if two_d else P(None, None)
     out_spec = (
@@ -142,8 +149,8 @@ def make_sharded_sq8_search(mesh: Mesh, metric: Metric, k: int, compute: str | N
         local,
         mesh=mesh,
         in_specs=(
-            P(DATA_AXIS, None), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-            P(DATA_AXIS), q_spec, P(),
+            P(raxes, None), P(raxes), P(raxes), P(raxes),
+            P(raxes), q_spec, P(),
         ),
         out_specs=out_spec,
         check_vma=False,
@@ -158,7 +165,12 @@ def sharded_kmeans_step(x, valid, cents, *, metric: Metric, mesh: Mesh):
     x [N, D] sharded P(data, None); valid [N] sharded; cents [K, D]
     replicated. Partial per-shard (sums, counts) reduce via psum; returns
     replicated new centroids — the 'training step' of an index build.
+
+    On a multi-slice mesh rows shard over (slice, data) and the psum names
+    both axes — XLA's hierarchical collective reduces within each slice on
+    ICI before the [K, D] partials cross DCN once per slice.
     """
+    raxes = row_axes(mesh)
 
     def local(xl, vl, c):
         scores = score_matrix(xl, c, metric)
@@ -170,15 +182,15 @@ def sharded_kmeans_step(x, valid, cents, *, metric: Metric, mesh: Mesh):
         ).astype(jnp.float32)
         sums = jnp.dot(onehot.T, xl.astype(jnp.float32), preferred_element_type=jnp.float32)
         counts = jnp.sum(onehot, axis=0)
-        sums = jax.lax.psum(sums, DATA_AXIS)
-        counts = jax.lax.psum(counts, DATA_AXIS)
+        sums = jax.lax.psum(sums, raxes)
+        counts = jax.lax.psum(counts, raxes)
         new = sums / jnp.maximum(counts, 1.0)[:, None]
         return jnp.where(counts[:, None] > 0, new, c)
 
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS), P(None, None)),
+        in_specs=(P(raxes, None), P(raxes), P(None, None)),
         out_specs=P(None, None),
         check_vma=False,
     )(x, valid, cents)
@@ -186,10 +198,13 @@ def sharded_kmeans_step(x, valid, cents, *, metric: Metric, mesh: Mesh):
 
 class ShardedFlatIndex(FlatIndex):
     """FlatIndex whose device slab is row-sharded over the mesh's ``data``
-    axis. Works on a 1-D ``data`` mesh (queries replicated) or a 2-D
+    axis. Works on a 1-D ``data`` mesh (queries replicated), a 2-D
     ``batch × data`` mesh (queries sharded over ``batch`` too — see
-    make_sharded_search). Same host API/semantics as FlatIndex; the slab
-    capacity is padded to a multiple of the mesh size so shards stay equal.
+    make_sharded_search), or a multi-slice ``slice × data`` mesh
+    (mesh.make_mesh_multislice: rows shard over both axes, the top-k merge
+    goes ICI-then-DCN — multi-slice is a mesh shape here, not a different
+    index). Same host API/semantics as FlatIndex; the slab capacity is
+    padded to a multiple of the row-shard count so shards stay equal.
     """
 
     def __init__(
@@ -204,7 +219,7 @@ class ShardedFlatIndex(FlatIndex):
         selection: str = "exact",
     ):
         self.mesh = mesh if mesh is not None else default_mesh()
-        self._ndev = int(self.mesh.shape[DATA_AXIS])  # rows shard over DATA only
+        self._ndev = row_shard_count(self.mesh)  # data × slice (batch shards queries)
         super().__init__(
             dim, metric, storage=storage, compute_dtype=compute_dtype,
             min_capacity=max(min_capacity, 8 * self._ndev),
@@ -226,8 +241,9 @@ class ShardedFlatIndex(FlatIndex):
             vf = np.pad(vf, ((0, cap - self._cap), (0, 0)))
         alive = np.zeros(cap, bool)
         alive[: self._cap] = self._alive
-        row_sh = NamedSharding(self.mesh, P(DATA_AXIS, None))
-        vec_sh = NamedSharding(self.mesh, P(DATA_AXIS))
+        raxes = row_axes(self.mesh)
+        row_sh = NamedSharding(self.mesh, P(raxes, None))
+        vec_sh = NamedSharding(self.mesh, P(raxes))
         if self.storage == "sq8":
             codes, mins, scales = sq8_quantize(vf)
             deq = mins[:, None] + codes.astype(np.float32) * scales[:, None]
@@ -268,8 +284,10 @@ class ShardedFlatIndex(FlatIndex):
             return False
         if self.storage == "sq8":
             return False
+        from pyrope_tpu.ops.pallas_scan import pick_row_tile
+
         rows_local = round_up(self._cap, self._ndev) // self._ndev
-        rt = min(4096, rows_local)
+        rt = pick_row_tile(rows_local, self.dim, "float32")
         return rows_local % rt == 0 and batch % min(128, batch) == 0
 
     def _sharded_fn(self, k: int, batch: int):

@@ -690,3 +690,98 @@ class TestClusterShardedIvf:
 
         with pytest.raises(ValueError, match="shard_by"):
             ShardedIvfFlatIndex(8, "L2", mesh=make_mesh(4), shard_by="bogus")
+
+
+class TestMultisliceMesh:
+    """Multi-slice (slice × data) meshes — SURVEY §5.8's DCN dimension.
+    Rows shard over both axes; the merge runs ICI-within-slice first, then
+    one [B, k] list per slice crosses the slice axis. Multi-slice is a mesh
+    shape, not a new index class."""
+
+    def _mesh(self, n_slices=2, per_slice=4):
+        from pyrope_tpu.parallel import make_mesh_multislice
+
+        return make_mesh_multislice(n_slices, per_slice)
+
+    def test_mesh_axes_and_row_shards(self):
+        from pyrope_tpu.parallel.mesh import row_axes, row_shard_count
+
+        mesh = self._mesh()
+        assert mesh.axis_names == ("slice", "data")
+        assert row_axes(mesh) == ("slice", "data")
+        assert row_shard_count(mesh) == 8
+        assert row_shard_count(make_mesh()) == 8
+
+    def test_multislice_flat_matches_single_device(self):
+        base = synthetic(2000, 32)
+        q = synthetic(16, 32, seed=5)
+        ref = FlatIndex(32)
+        ref.add_batch([str(i) for i in range(2000)], base)
+        sh = ShardedFlatIndex(32, mesh=self._mesh())
+        sh.add_batch([str(i) for i in range(2000)], base)
+        r1 = ref.search_batch(q, 10)
+        r2 = sh.search_batch(q, 10)
+        for a, b in zip(r1, r2):
+            assert [h.id for h in a] == [h.id for h in b]
+            np.testing.assert_allclose(
+                [h.score for h in a], [h.score for h in b], rtol=1e-5, atol=1e-5
+            )
+
+    def test_multislice_maxscans_and_delete(self):
+        base = synthetic(512, 16)
+        sh = ShardedFlatIndex(16, mesh=self._mesh(4, 2))
+        sh.add_batch([str(i) for i in range(512)], base)
+        sh.delete("100")
+        hits = sh.search(base[100], 5)
+        assert all(h.id != "100" for h in hits)
+        # global max_scans budget crosses slice boundaries correctly
+        hits = sh.search(base[400], 3, SearchOptions(max_scans=50))
+        assert all(int(h.id) < 50 for h in hits)
+
+    def test_multislice_sq8(self):
+        base = synthetic(600, 16)
+        ref = FlatIndex(16, storage="sq8")
+        sh = ShardedFlatIndex(16, storage="sq8", mesh=self._mesh())
+        for ix in (ref, sh):
+            ix.add_batch([str(i) for i in range(600)], base)
+        q = synthetic(4, 16, seed=3)
+        a = ref.search_batch(q, 5)
+        b = sh.search_batch(q, 5)
+        for x, y in zip(a, b):
+            assert [h.id for h in x] == [h.id for h in y]
+
+    def test_multislice_pallas_matches_exact(self):
+        n, d = 4096, 32  # 512 rows/shard — tile-divisible
+        base = synthetic(n, d)
+        ref = FlatIndex(d, selection="exact")
+        sh = ShardedFlatIndex(d, selection="pallas", mesh=self._mesh())
+        for ix in (ref, sh):
+            ix.add_batch([str(i) for i in range(n)], base)
+        assert sh._pallas_eligible(8)
+        q = synthetic(8, d, seed=9)
+        a = ref.search_batch(q, 10)
+        b = sh.search_batch(q, 10)
+        for x, y in zip(a, b):
+            assert [h.id for h in x] == [h.id for h in y]
+
+    def test_multislice_kmeans_step_matches_1d(self):
+        from jax.sharding import NamedSharding
+        from pyrope_tpu.parallel.mesh import row_axes
+
+        rng = np.random.default_rng(0)
+        x = rng.random((512, 16)).astype(np.float32)
+        valid = np.ones(512, bool)
+        cents = x[:8].copy()
+        mesh1 = make_mesh()
+        mesh2 = self._mesh()
+        out = []
+        for mesh in (mesh1, mesh2):
+            sh = NamedSharding(mesh, P(row_axes(mesh), None))
+            vh = NamedSharding(mesh, P(row_axes(mesh)))
+            c = sharded_kmeans_step(
+                jax.device_put(jnp.asarray(x), sh),
+                jax.device_put(jnp.asarray(valid), vh),
+                jnp.asarray(cents), metric=Metric.L2, mesh=mesh,
+            )
+            out.append(np.asarray(c))
+        np.testing.assert_allclose(out[0], out[1], rtol=1e-5, atol=1e-6)
