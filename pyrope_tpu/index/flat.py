@@ -114,15 +114,23 @@ def _sq8_search_fn(metric: Metric, k: int, compute: str | None, selection: str =
 @functools.lru_cache(maxsize=None)
 def _hybrid_search_fn(metric: Metric, k: int, r: int, row_tile: int,
                       batch_tile: int):
-    """bf16-scan + fp32-HIGHEST rerank: the exact path at near-bf16 cost.
+    """bf16-scan + fp32-HIGHEST rerank: exact WITH HIGH PROBABILITY, not
+    by construction.
 
     One jitted dispatch: the fused Pallas kernel scans the bf16 slab and
     keeps each query's top-R shortlist (R >> k, so the handful of true
     top-k rows that bf16 rounding reorders past rank k still land inside
     it), then rerank_exact gathers those R rows from the fp32 slab and
-    rescores with Precision.HIGHEST — identical scores/order to the full
-    fp32 scan, which pays ~1.8x for exactness the rerank gets from R rows
-    (VERDICT r3 #1; same pattern as PQ refine / the HNSW beam rerank)."""
+    rescores with Precision.HIGHEST (same pattern as PQ refine / the HNSW
+    beam rerank). Exactness requires every true top-k row to survive the
+    bf16-SCORED shortlist: with more than R−k rows whose fp32 scores sit
+    within bf16 rounding (~0.4% relative) of the kth score, a true
+    neighbor can rank past R in bf16 order and the fp32 rerank cannot
+    recover it. Default R = max(64, next_pow2(4k)) makes that regime
+    adversarial in practice (measured recall 1.0 on every bench config,
+    incl. clustered), but a corpus with thousands of near-duplicates of
+    the query could breach it — widen with 'hybrid:R' or use
+    selection='exact'/'auto' (full fp32) when ties that dense matter."""
     from pyrope_tpu.ops.distance import rerank_exact
     from pyrope_tpu.ops.pallas_scan import pallas_flat_topk
 

@@ -306,11 +306,14 @@ def _ivf_dense_pallas_win_fn(metric: Metric, k: int, nprobe: int,
 def _ivf_dense_pallas_hybrid_fn(metric: Metric, k: int, r: int, nprobe: int,
                                 windowed: bool = False,
                                 probe_metric: Metric | None = None):
-    """Hybrid exact dense scan: the fused kernel streams the bf16 twin slab
-    and keeps each query's top-R shortlist, then rerank_exact rescores those
-    R rows off the fp32 slab with Precision.HIGHEST — identical hit sets to
-    the fp32 dense scan at near-bf16 scan cost (VERDICT r3 #1; the PQ-refine
-    pattern applied to the exact IVF path)."""
+    """Hybrid dense scan: the fused kernel streams the bf16 twin slab and
+    keeps each query's top-R shortlist, then rerank_exact rescores those
+    R rows off the fp32 slab with Precision.HIGHEST — matches the fp32
+    dense scan WITH HIGH PROBABILITY at near-bf16 scan cost (the PQ-refine
+    pattern applied to the exact IVF path). Not exact by construction:
+    more than R−k near-ties within bf16 rounding of the kth score can push
+    a true neighbor outside the shortlist — see
+    index/flat._hybrid_search_fn for the failure regime and mitigations."""
     from pyrope_tpu.ops.distance import rerank_exact
     from pyrope_tpu.ops.pallas_scan import (
         PALLAS_IVF_WINDOW,
@@ -355,14 +358,19 @@ _cast_bf16 = jax.jit(lambda a: a.astype(jnp.bfloat16))
 
 def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
                     npad: int, kpad: int, b: int, ms: int, n: int,
-                    win_ok: bool = False) -> bool:
+                    win_ok: bool = False, dim: int = 128) -> bool:
     """Eligibility of the fused Pallas dense kernel (falls back to the XLA
     dense kernel otherwise): full scan only (no max_scans budget), L2/IP,
     exact fp32 compute, tile-divisible shapes, and a cluster table narrow
     enough that the membership matmul stays a fraction of the scan —
     wider tables are eligible when the slab's per-tile cluster spans fit
-    the windowed kernel (``win_ok``, see tile_cluster_windows)."""
-    from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD
+    the windowed kernel (``win_ok``, see tile_cluster_windows).
+
+    Divisibility is checked against the SAME row tile the kernels will
+    pick (``pick_row_tile`` shrinks below 4096 for dim > 256 to fit the
+    scoped-vmem budget) — checking min(4096, npad) while the kernel tiles
+    smaller crashed dim=768 capacity buckets at query time."""
+    from pyrope_tpu.ops.pallas_scan import PALLAS_IVF_MAX_KPAD, pick_row_tile
 
     if selection == "exact":
         return False
@@ -371,7 +379,7 @@ def pallas_dense_ok(selection: str, metric: Metric, compute: str | None,
         and compute is None
         and ms >= n
         and (kpad <= PALLAS_IVF_MAX_KPAD or win_ok)
-        and npad % min(4096, npad) == 0
+        and npad % pick_row_tile(npad, dim, "float32") == 0
         and b % min(128, b) == 0
     )
 
@@ -425,8 +433,10 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         sets, no [B, N] materialization); 'pallas' requires it; 'exact'
         forces the XLA dense kernel; 'hybrid[:R]' scans a bf16 twin slab
         with the fused kernel keeping top-R and reranks those rows off the
-        fp32 slab with HIGHEST — identical hit sets at near-bf16 scan cost
-        (+50% slab memory)."""
+        fp32 slab with HIGHEST — matches the fp32 scan with high
+        probability at near-bf16 scan cost (+50% slab memory; dense
+        bf16-rounding near-ties past rank R are unrecoverable — see
+        index/flat._hybrid_search_fn)."""
         if scan_mode not in ("auto", "dense", "probe"):
             raise ValueError(f"scan_mode must be auto|dense|probe, got {scan_mode!r}")
         if selection.partition(":")[0] not in ("auto", "pallas", "exact", "hybrid"):
@@ -434,7 +444,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
                 f"selection must be auto|pallas|exact|hybrid[:R], got {selection!r}"
             )
         if selection.partition(":")[0] == "hybrid" and compute_dtype is not None:
-            raise ValueError("selection='hybrid' IS the exact path; "
+            raise ValueError("selection='hybrid' reranks in fp32; "
                              "compute_dtype must stay None (fp32)")
         self.dim = int(dim)
         self.metric = Metric.parse(metric)
@@ -729,7 +739,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
         p_ok = pallas_dense_ok(
             self.selection, self.metric, self.compute_dtype,
             dev["xperm"].shape[0], dev["cents"].shape[0], batch,
-            ms, self._main_n, win_ok=dev.get("win_ok", False),
+            ms, self._main_n, win_ok=dev.get("win_ok", False), dim=self.dim,
         )
         mode = pick_scan_mode(
             self.scan_mode, dev["xperm"].shape[0], nprobe, dev["l_pad"],
@@ -746,7 +756,7 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
                 and batch <= HYBRID_MAX_BATCH):
             # ineligible shapes / max_scans budgets above fell back to the
             # XLA kernels, which are already exact fp32 — 'hybrid' only
-            # changes WHICH exact kernel runs, never the hit set. Batches
+            # swaps in the bf16-shortlist kernel (exact w.h.p.). Batches
             # above the crossover keep the fp32 dense kernel: the R-wide
             # bitonic merge across many batch groups costs more than the
             # fp32 slab's extra passes (see index/flat.py HYBRID_MAX_BATCH)
@@ -768,11 +778,17 @@ class IvfFlatIndex(VectorIndex, CentroidsProvider):
             )
         if path in ("dense-pallas-hybrid", "dense-pallas-win-hybrid"):
             from pyrope_tpu.index.flat import hybrid_shortlist
+            from pyrope_tpu.ops.pallas_scan import pick_row_tile
             from pyrope_tpu.ops.topk import parse_selection
 
+            # Clamp R to the SAME row tile the hybrid kernel will pick
+            # (pick_row_tile shrinks below 4096 for dim > 256): an R wider
+            # than the actual tile disqualifies the bitonic merge inside
+            # _wide_params and silently drops to the O(R*(R+T)) extract-max
+            # fallback — a perf cliff on exactly the path built for speed.
             r = hybrid_shortlist(
                 top_k, parse_selection(self.selection)[1],
-                min(4096, dev["xperm"].shape[0]),
+                pick_row_tile(dev["xperm"].shape[0], self.dim, "float32"),
             )
             windowed = path == "dense-pallas-win-hybrid"
             fn = _ivf_dense_pallas_hybrid_fn(self.metric, top_k, r, nprobe,

@@ -656,6 +656,7 @@ class IvfPqIndex(VectorIndex, CentroidsProvider):
             "auto", search_metric, None, dev["xraw"].shape[0],
             dev["cents"].shape[0], batch, ms,
             self._codes.shape[0], win_ok=dev.get("win_ok", False),
+            dim=self.dim,
         )
         npad = dev["codes"].shape[0]
         if self.scan_mode == "auto" and self.refine > 0:

@@ -643,6 +643,7 @@ class ShardedIvfFlatIndex(IvfFlatIndex):
             self.selection, self.metric, self.compute_dtype,
             dev["stride"], dev["kpad"], batch,
             dev["stride"], dev["stride"], win_ok=dev["win_ok"],
+            dim=self.dim,
         )
         # mode decided on per-shard local volumes (each shard scans its own
         # slab; stride ≈ local rows)

@@ -423,6 +423,7 @@ class ShardedIvfPqIndex(IvfPqIndex):
         p_ok = refine_r > 0 and uncapped and pallas_dense_ok(
             "auto", search_metric, None, dev["stride"], dev["kpad"],
             batch, dev["stride"], dev["stride"], win_ok=dev["win_ok"],
+            dim=self.dim,
         )
         if self.scan_mode == "auto" and self.refine > 0:
             mode = "dense" if dev["stride"] <= DENSE_MAX_ROWS else "probe"

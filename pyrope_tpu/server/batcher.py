@@ -250,10 +250,18 @@ class AsyncWriteCoalescer:
         group as a single span (one future)."""
         import asyncio
 
+        from pyrope_tpu.security import SessionAuthContext
         from pyrope_tpu.service import VectorRecord
 
         r0 = reqs[0]
-        key = (r0.tenant, r0.index, r0.api_key)
+        # Session identity MUST be part of the group key: write_batch runs
+        # ONE _authenticate in the leader's task context, and _authenticate
+        # trusts SessionAuthContext (a per-connection contextvar). Without
+        # it, an unauthenticated connection's api_key=None write coalesced
+        # under a session-AUTH'd leader would be accepted on the leader's
+        # credentials (and a session-auth'd follower under an unauth'd
+        # leader spuriously rejected).
+        key = (r0.tenant, r0.index, r0.api_key, SessionAuthContext.get_tenant())
         group = self._groups.get(key)
         leader = group is None or group.closed
         if leader:
@@ -269,25 +277,32 @@ class AsyncWriteCoalescer:
             self._groups.pop(key, None)
 
         if leader:
-            async with self._gate:  # absorption window = prior batch's run
-                # drain rounds (docstring #2): let the loop deliver queued
-                # socket reads so concurrent writers join this group before
-                # it closes; no-op when the gate wait already absorbed them
-                for _ in range(2):
-                    if group.closed:
-                        break
-                    await asyncio.sleep(0)
-                if not group.closed:
-                    group.closed = True
-                    if self._groups.get(key) is group:
-                        self._groups.pop(key)
-                records = [
-                    VectorRecord(id=r.id, vector=r.vector, meta=r.meta,
-                                 tags=tuple(r.tags),
-                                 numeric_fields=r.numeric_fields)
-                    for r in group.reqs
-                ]
-                try:
+            # The whole leader section is fail-safe: ANY exit — gate-wait
+            # cancellation, record-build failure, engine error — must
+            # resolve every undone span future, or the follower
+            # connections' writes hang forever. Cancellation is re-raised
+            # (never swallowed into a BatchError) so task cancellation
+            # still propagates to the leader's own coroutine.
+            try:
+                async with self._gate:  # absorption window = prior batch
+                    # drain rounds (docstring #2): let the loop deliver
+                    # queued socket reads so concurrent writers join this
+                    # group before it closes; no-op when the gate wait
+                    # already absorbed them
+                    for _ in range(2):
+                        if group.closed:
+                            break
+                        await asyncio.sleep(0)
+                    if not group.closed:
+                        group.closed = True
+                        if self._groups.get(key) is group:
+                            self._groups.pop(key)
+                    records = [
+                        VectorRecord(id=r.id, vector=r.vector, meta=r.meta,
+                                     tags=tuple(r.tags),
+                                     numeric_fields=r.numeric_fields)
+                        for r in group.reqs
+                    ]
                     if len(records) <= self.inline_max:
                         results = self.engine.write_batch(
                             r0.tenant, r0.index, records, group.upserts,
@@ -307,10 +322,20 @@ class AsyncWriteCoalescer:
                     for s, c, f in group.spans:
                         if not f.done():
                             f.set_result(results[s : s + c])
-                except BaseException as e:
-                    for _, _, f in group.spans:
-                        if not f.done():
-                            f.set_exception(BatchError(str(e)))
+            except BaseException as e:
+                group.closed = True
+                if self._groups.get(key) is group:
+                    self._groups.pop(key)
+                for _, _, f in group.spans:
+                    if not f.done():
+                        f.set_exception(BatchError(str(e)))
+                if isinstance(e, asyncio.CancelledError):
+                    # mark the leader's own failed future retrieved before
+                    # re-raising, or the loop logs "exception never
+                    # retrieved" for a future nobody will await
+                    if fut.done():
+                        fut.exception()
+                    raise
         return await fut
 
     def to_dict(self) -> dict:

@@ -290,3 +290,32 @@ def test_selection_hybrid_windowed():
         assert [h.id for h in ra] == [h.id for h in rb]
     if path != "dense-pallas-win-hybrid":  # span overflow fell back (exact anyway)
         assert path in ("dense-xla", "probe")
+
+
+def test_dim768_default_dense_scan_no_tile_crash():
+    """Regression (ADVICE r4): pallas_dense_ok gated tile divisibility with
+    min(4096, npad) while the kernels tile with pick_row_tile (1024 at
+    dim 768) — IvfFlatIndex(dim=768, n=2000) crashed at query time
+    ('pad shapes to tiles: n=2432%1024') on the default dense scan.
+    Eligibility must be checked against the kernel's own row tile."""
+    n, dim = 2000, 768
+    base = synthetic(n, dim)
+    idx = IvfFlatIndex(dim, "L2", nlist=16, nprobe=4)
+    idx.add_batch([str(i) for i in range(n)], base)
+    idx.build()
+    # npad=2432 is 128-aligned but not 1024-aligned: pallas is ineligible
+    assert "pallas" not in idx.describe_scan(8)
+    hits = idx.search_batch(base[:8] + 1e-3, 10)
+    assert hits[0][0].id == "0"
+
+
+def test_pallas_dense_ok_dim_aware():
+    from pyrope_tpu.index.ivf_flat import pallas_dense_ok
+
+    big = 10**9
+    # 2432 rows: dim 768 shrinks the row tile to 1024 (vmem budget) and
+    # 2432 % 1024 != 0 -> ineligible; dim 128 keeps the npad-clamped tile
+    assert not pallas_dense_ok("auto", Metric.L2, None, 2432, 16, 8, big,
+                               2000, dim=768)
+    assert pallas_dense_ok("auto", Metric.L2, None, 2432, 16, 8, big,
+                           2000, dim=128)
