@@ -248,6 +248,17 @@ CONFIGS = {
                          {"nlist": 1000, "pq_m": 16, "ksub": 256,
                           "train_dtype": "bfloat16",
                           "refine_storage": "bf16"}),
+    # residual-SQ8 rerank slab (VERDICT r4 #2): compressed AND high-recall —
+    # the per-row quantization step tracks the CLUSTER radius, so the
+    # near-tie margins that bf16's relative rounding loses survive. Slab
+    # 140 MB at 1Mx128 (vs fp32 516 / bf16 260); total index ~ 160 MB
+    "ivfpq1m_sq8res": ("IVF_PQ", 1_000_000, 128,
+                       {"nlist": 1000, "pq_m": 16, "ksub": 256,
+                        "train_dtype": "bfloat16",
+                        "refine_storage": "sq8res", "batch": 256}),
+    "ivfpq100k_sq8res_b1024": ("IVF_PQ", 100_000, 128,
+                               {"nlist": 100, "pq_m": 16, "ksub": 256,
+                                "refine_storage": "sq8res", "batch": 1024}),
     "ivfpq1m_adc": ("IVF_PQ", 1_000_000, 128,
                     {"nlist": 1000, "pq_m": 8, "ksub": 256, "refine": 0,
                      "train_dtype": "bfloat16"}),
@@ -360,6 +371,17 @@ CONFIGS = {
     "ivfpq1m_zipf_b256": ("IVF_PQ", 1_000_000, 128,
                           {"nlist": 1000, "pq_m": 16, "ksub": 256,
                            "train_dtype": "bfloat16", "batch": 256}),
+    # file-backed rows (VERDICT r4 #3): these configs are meant to run with
+    # --base-fvecs/--glove pointing at ON-DISK dataset files (written by
+    # scripts/make_dataset_files.py, or real SIFT/GloVe when available) —
+    # the full FvecsReader/GloveTxtReader -> bench -> recall path the
+    # reference exercises on SIFT1M (ref: Program.cs:192-263,
+    # FvecsReader.cs:14-58, GloveTxtReader.cs:14-62). n/dim below are
+    # placeholders; the file's shape wins. Rows carry a `dataset` field.
+    "ivf100k_fvecs_file": ("IVF_FLAT", 100_000, 128,
+                           {"nlist": 100, "batch": 1024}),
+    "ivf_glove_file": ("IVF_FLAT", 50_000, 100,
+                       {"nlist": 100, "batch": 1024}),
 }
 
 CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
@@ -367,7 +389,8 @@ CLUSTERED = {"ivf100k_clustered", "ivf1m_clustered", "hnsw100k_clustered",
              "ivfpq1m_np8", "hnsw1m_clustered_b256", "hnsw1m_clustered_ef200",
              "ivfpq1m_r128", "ivfpq1m_bf16slab", "ivfpq1m_clustered_b256",
              "ivfpq1m_probe", "hnsw1m_clustered_b1", "hnsw1m_clustered_b8",
-             "ivf1m_clustered_b1", "ivf1m_clustered_b8", "ivf1m_d768_b1024"}
+             "ivf1m_clustered_b1", "ivf1m_clustered_b8", "ivf1m_d768_b1024",
+             "ivfpq1m_sq8res", "ivfpq100k_sq8res_b1024"}
 # Zipf(1.0) cluster sizes: the largest natural cluster holds ~13% of the
 # corpus (vs 0.1% balanced) — stresses padded-CSR l_pad and the windowed
 # kernel's per-tile cluster spans (VERDICT r3 #7; in-image stand-in for
@@ -745,6 +768,7 @@ def run_config(
     base_fvecs: str | None = None, query_fvecs: str | None = None,
     base_limit: int | None = None, with_oracle: bool = True,
     oracle_max_n: int = 200_000, index_cache: dict | None = None,
+    glove_src: str | None = None,
 ) -> dict:
     import pyrope_tpu as pt
     from pyrope_tpu.utils.datasets import (
@@ -764,6 +788,7 @@ def run_config(
     opt_kwargs = kwargs.pop("opts", {})
     metric = {"FLAT_COS": "COSINE", "FLAT_IP": "IP"}.get(algo, "L2")
 
+    dataset = None
     if base_fvecs:  # real dataset (e.g. SIFT1M .fvecs) replaces synthetic
         base = read_fvecs(base_fvecs, limit=base_limit or n_base)
         n_base, dim = base.shape
@@ -780,6 +805,14 @@ def run_config(
             reps = -(-batch // len(queries))
             queries = np.tile(queries, (reps, 1))[:batch]
         log(f"[{name}] fvecs dataset: {base.shape} base, {queries.shape} queries")
+        # record the loader in the row: a file-backed QPS/recall number must
+        # name its dataset path (ref: Program.cs:192-232 --dataset sift)
+        dataset = {
+            "loader": "glove-txt" if glove_src else "fvecs",
+            "base_file": os.path.basename(glove_src or base_fvecs),
+            "query_file": (os.path.basename(query_fvecs)
+                           if query_fvecs else None),
+        }
     elif name in CLUSTERED:
         from pyrope_tpu.utils.datasets import (
             synthetic_clustered,
@@ -911,6 +944,8 @@ def run_config(
     }
     if recall_ref_e2e is not None:
         out["recall_ref_e2e"] = recall_ref_e2e
+    if dataset is not None:
+        out["dataset"] = dataset
     if build_cached:
         out["build_cached"] = True
     if hasattr(idx, "describe_scan"):
@@ -1003,6 +1038,7 @@ def main() -> None:
         atexit.register(lambda p=tmp.name: os.unlink(p) if os.path.exists(p) else None)
         write_fvecs(tmp.name, vecs)
         args.base_fvecs = tmp.name
+        args.glove_src = args.glove  # rows record the ORIGINAL txt loader
 
     if args.quick:
         names = ["flat10k"]
@@ -1028,6 +1064,7 @@ def main() -> None:
                  base_fvecs=args.base_fvecs, query_fvecs=args.query_fvecs,
                  base_limit=args.base_limit, with_oracle=not args.no_oracle,
                  oracle_max_n=args.oracle_max_n, index_cache=index_cache,
+                 glove_src=getattr(args, "glove_src", None),
              ))
         results.append(r)
         # merge after EVERY row, not at process end: a wedged remote compile

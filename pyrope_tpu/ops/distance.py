@@ -135,6 +135,63 @@ def rerank_exact(
     return vals, rows
 
 
+def rerank_exact_sq8res(
+    codes: jax.Array,
+    mins: jax.Array,
+    scales: jax.Array,
+    crow: jax.Array,
+    cents: jax.Array,
+    sqnorm: jax.Array,
+    q: jax.Array,
+    cand_rows: jax.Array,
+    k: int,
+    metric: Metric,
+) -> tuple[jax.Array, jax.Array]:
+    """``rerank_exact`` off a residual-SQ8 slab: x̂ = c[crow] + min + s·code.
+
+    The memory-lean rerank storage (VERDICT r4 #2): per-row uint8 residual
+    codes + (min, scale) reconstruct the row to within the CLUSTER radius's
+    quantization step — measured r@10 0.9906 vs bf16's 0.9625 on the
+    1M-clustered regime at 1/4 the fp32 slab bytes (2026-08-20 isolation
+    experiment, perfect-shortlist rescore). Scoring runs fp32 HIGHEST on
+    the reconstruction; ``sqnorm`` is ‖x̂‖² of the SAME reconstruction so
+    L2 is exact up to storage rounding (the rerank_exact convention).
+
+    codes: [N_pad, D] uint8, mins/scales/sqnorm: [N_pad] fp32,
+    crow: [N_pad] int32 cluster-of-row, cents: [Kp, D] fp32.
+    """
+    metric = Metric.parse(metric)
+    safe = jnp.maximum(cand_rows, 0)
+    c8 = jnp.take(codes, safe, axis=0).astype(jnp.float32)     # [B, R, D]
+    mn = jnp.take(mins, safe, axis=0)[..., None]               # [B, R, 1]
+    sc = jnp.take(scales, safe, axis=0)[..., None]
+    cc = jnp.take(cents, jnp.take(crow, safe, axis=0), axis=0) # [B, R, D]
+    vecs = cc + mn + sc * c8
+    qf = q.astype(jnp.float32)
+    dots = jnp.einsum("brd,bd->br", vecs, qf,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+    if metric == Metric.L2:
+        qq = jnp.sum(qf * qf, axis=-1)
+        sq = jnp.take(sqnorm, safe, axis=0)                    # [B, R]
+        scores = -jnp.maximum(qq[:, None] - 2.0 * dots + sq, 0.0)
+    elif metric == Metric.INNER_PRODUCT:
+        scores = dots
+    else:  # COSINE
+        qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+        xn = jnp.sqrt(jnp.maximum(jnp.take(sqnorm, safe, axis=0), 1e-24))
+        scores = dots / jnp.maximum(qn[:, None] * xn, 1e-12)
+    scores = jnp.where(cand_rows >= 0, scores, -jnp.inf)
+    vals, sel = jax.lax.top_k(scores, min(k, scores.shape[-1]))
+    rows = jnp.take_along_axis(cand_rows, sel, axis=-1)
+    rows = jnp.where(jnp.isfinite(vals), rows, -1)
+    if vals.shape[-1] < k:
+        pad = k - vals.shape[-1]
+        vals = jnp.pad(vals, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+        rows = jnp.pad(rows, ((0, 0), (0, pad)), constant_values=-1)
+    return vals, rows
+
+
 def normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """L2-normalize rows (cosine pre-normalization,
     ref: HnswVectorIndex.cs:69-85 normalizes at insert)."""

@@ -929,3 +929,309 @@ def pallas_ivf_topk(
                     batch_tile, promote_fp32, interpret)
     vals, idx = fn(q, x, sqnorm, alive, crow, probed)
     return _finish_topk(vals, idx, k)
+
+
+# ---- fused dense-mask IVF scan over a residual-SQ8 slab ---------------------
+# The memory-lean rerank storage (VERDICT r4 #2): rows live as uint8
+# residual codes + per-row (min, scale); reconstruction x̂ = c[crow] + min +
+# scale*code happens IN the score algebra, never materialized:
+#
+#   q·x̂ = qc[b, crow] + (q @ codesᵀ)·scale + (Σq)·min
+#
+# The qc term and the probe mask ride ONE one-hot contraction: tq[b, c] =
+# qc[b, c] where probed else SENTINEL, sel = tq @ onehot(crow)ᵀ — the same
+# membership matmul the fp32 kernels already pay, now also carrying the
+# centroid dots (exact: a one-hot row selects one fp32 entry). HBM slab
+# traffic is 1/4 of the fp32 kernel's; the uint8->fp32 convert is VPU work
+# inside VMEM tiles.
+
+MASK_SENT = -1.0e30          # tq sentinel for unprobed clusters
+MASK_SENT_THRESH = -1.0e29   # sel below this = masked row
+
+
+def _tile_scores_sq8(q, codes, mins, scales, sq, sel, live, *, metric: Metric):
+    """Score one residual-SQ8 corpus tile: q [Bt, D] fp32, codes [T, D]
+    uint8, mins/scales/sq [T] fp32, sel [Bt, T] = qc[b, crow[t]] (masked
+    entries carry the sentinel and are neutralized via ``live``)."""
+    # Mosaic has no unsigned->float cast; int32 hop is exact for 0..255
+    x8 = codes.astype(jnp.int32).astype(jnp.float32)
+    dots8 = jax.lax.dot_general(
+        q, x8, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # [Bt, T]
+    qsum = jnp.sum(q, axis=1, keepdims=True)                 # [Bt, 1]
+    qx = jnp.where(live, sel, 0.0) + dots8 * scales[None, :] + qsum * mins[None, :]
+    if metric == Metric.L2:
+        qq = jnp.sum(q * q, axis=1, keepdims=True)
+        return -jnp.maximum(qq - 2.0 * qx + sq[None, :], 0.0)
+    return qx  # IP (cosine rows pre-normalized upstream)
+
+
+def _ivf_sq8_scan_kernel(q_ref, x_ref, mn_ref, sc_ref, sq_ref, alive_ref,
+                         crow_ref, tq_ref, vals_ref, idx_ref, run_v, run_i,
+                         *, k: int, metric: Metric, row_tile: int,
+                         bitonic: bool):
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    crow = crow_ref[:]                                       # [T]
+    kpad = tq_ref.shape[1]
+    oh = (
+        crow[:, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (row_tile, kpad), 1)
+    ).astype(jnp.float32)                                    # [T, Kp]
+    # one matmul carries BOTH the probe mask and the centroid dots: HIGHEST
+    # keeps the selected qc entries bit-exact (one-hot products are exact
+    # in any precision; the fp32 VALUES must not be demoted to bf16 passes)
+    sel = jax.lax.dot_general(
+        tq_ref[:], oh,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # [Bt, T]
+    live = sel > MASK_SENT_THRESH
+    scores = _tile_scores_sq8(q_ref[:], x_ref[:], mn_ref[:], sc_ref[:],
+                              sq_ref[:], sel, live, metric=metric)
+    mask = alive_ref[:][None, :] & live
+
+    base = n_idx * row_tile
+    scores = jnp.where(mask, scores, NEG_INF)
+    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+
+    @pl.when(n_idx == n_tiles - 1)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ivf_sq8(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
+                   kpad: int, row_tile: int, batch_tile: int,
+                   interpret: bool):
+    grid = (b_pad // batch_tile, n_pad // row_tile)
+    scratch_k, bitonic = _wide_params(k, row_tile)
+    kernel = functools.partial(
+        _ivf_sq8_scan_kernel, k=k, metric=metric, row_tile=row_tile,
+        bitonic=bitonic,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((batch_tile, d), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # q
+            pl.BlockSpec((row_tile, d), lambda b, n: (n, 0),
+                         memory_space=pltpu.VMEM),                     # codes
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # mins
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # scales
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # sqnorm
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # alive
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # crow
+            pl.BlockSpec((batch_tile, kpad), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # tq
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, scratch_k), jnp.float32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pallas_ivf_sq8_topk(
+    q: jax.Array,
+    codes: jax.Array,
+    mins: jax.Array,
+    scales: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    crow: jax.Array,
+    tq: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    *,
+    row_tile: int = DEFAULT_ROW_TILE,
+    batch_tile: int = DEFAULT_BATCH_TILE,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused dense-mask IVF scan over a residual-SQ8 slab (kpad <= ~512).
+
+    codes [N, D] uint8 residual codes; mins/scales/sqnorm [N] fp32 (sqnorm
+    is ||x̂||² of the reconstruction); tq [B, Kp] fp32 = q·cᵀ where probed,
+    MASK_SENT where not (build with ``sq8_probe_table``). Full-scan
+    semantics like pallas_ivf_topk."""
+    metric = Metric.parse(metric)
+    if metric == Metric.COSINE:
+        raise ValueError("pre-normalize rows and use IP for cosine")
+    b, d = q.shape
+    n = codes.shape[0]
+    kpad = tq.shape[1]
+    row_tile = min(row_tile, n)
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)  # wide-k scoped-vmem cap
+    batch_tile = min(batch_tile, b)
+    if n % row_tile or b % batch_tile:
+        raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    fn = _build_ivf_sq8(metric, k, b, n, d, kpad, row_tile, batch_tile,
+                        interpret)
+    vals, idx = fn(q, codes, mins, scales, sqnorm, alive, crow, tq)
+    return _finish_topk(vals, idx, k)
+
+
+def _ivf_sq8_scan_windowed_kernel(
+    tile_clo_ref, q_ref, x_ref, mn_ref, sc_ref, sq_ref, alive_ref, crow_ref,
+    tq_t_ref, vals_ref, idx_ref, run_v, run_i,
+    *, k: int, metric: Metric, row_tile: int, window: int, bitonic: bool,
+):
+    """Residual-SQ8 dense scan for WIDE cluster tables: the [window, Bt]
+    band of the TRANSPOSED tq table replaces the full [Bt, Kp] operand
+    (same mechanism as _ivf_scan_windowed_kernel, fp32 HIGHEST because the
+    band carries centroid DOTS, not 0/1)."""
+    n_idx = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(n_idx == 0)
+    def _():
+        run_v[:] = jnp.full_like(run_v, jnp.float32(NEG_INF))
+        run_i[:] = jnp.full_like(run_i, -1)
+
+    c0 = pl.multiple_of(tile_clo_ref[n_idx], PALLAS_IVF_WINDOW_ALIGN)
+    tw = tq_t_ref[pl.ds(c0, window), :]                      # [W, Bt] fp32
+    crow = crow_ref[:]                                       # [T]
+    oh = (
+        (crow[:, None] - c0)
+        == jax.lax.broadcasted_iota(jnp.int32, (row_tile, window), 1)
+    ).astype(jnp.float32)                                    # [T, W]
+    sel = jax.lax.dot_general(
+        tw, oh,
+        (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                                        # [Bt, T]
+    live = sel > MASK_SENT_THRESH
+    scores = _tile_scores_sq8(q_ref[:], x_ref[:], mn_ref[:], sc_ref[:],
+                              sq_ref[:], sel, live, metric=metric)
+    mask = alive_ref[:][None, :] & live
+
+    base = n_idx * row_tile
+    scores = jnp.where(mask, scores, NEG_INF)
+    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+
+    @pl.when(n_idx == n_tiles - 1)
+    def _():
+        vals_ref[:] = run_v[:]
+        idx_ref[:] = run_i[:]
+
+
+@functools.lru_cache(maxsize=None)
+def _build_ivf_sq8_windowed(
+    metric: Metric, k: int, b_pad: int, n_pad: int, d: int, kpad: int,
+    row_tile: int, batch_tile: int, window: int, interpret: bool,
+):
+    grid = (b_pad // batch_tile, n_pad // row_tile)
+    scratch_k, bitonic = _wide_params(k, row_tile)
+    kernel = functools.partial(
+        _ivf_sq8_scan_windowed_kernel, k=k, metric=metric,
+        row_tile=row_tile, window=window, bitonic=bitonic,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                     # tile_clo
+            pl.BlockSpec((batch_tile, d), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),                     # q
+            pl.BlockSpec((row_tile, d), lambda b, n: (n, 0),
+                         memory_space=pltpu.VMEM),                     # codes
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # mins
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # scales
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # sqnorm
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # alive
+            pl.BlockSpec((row_tile,), lambda b, n: (n,),
+                         memory_space=pltpu.VMEM),                     # crow
+            pl.BlockSpec((kpad, batch_tile), lambda b, n: (0, b),
+                         memory_space=pltpu.VMEM),                     # tqT
+        ],
+        out_specs=[
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((batch_tile, scratch_k), lambda b, n: (b, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, scratch_k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((batch_tile, scratch_k), jnp.float32),
+            pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def pallas_ivf_sq8_topk_windowed(
+    q: jax.Array,
+    codes: jax.Array,
+    mins: jax.Array,
+    scales: jax.Array,
+    sqnorm: jax.Array,
+    alive: jax.Array,
+    crow: jax.Array,
+    tq_t: jax.Array,
+    tile_clo: jax.Array,
+    k: int,
+    metric: Metric = Metric.L2,
+    *,
+    row_tile: int = DEFAULT_ROW_TILE,
+    batch_tile: int = 64,
+    window: int = PALLAS_IVF_WINDOW,
+) -> tuple[jax.Array, jax.Array]:
+    """Windowed residual-SQ8 dense scan (kpad > PALLAS_IVF_MAX_KPAD).
+
+    tq_t: [Kp, B] fp32 TRANSPOSED masked-qc table (``sq8_probe_table``
+    output transposed); other args as pallas_ivf_sq8_topk."""
+    metric = Metric.parse(metric)
+    if metric == Metric.COSINE:
+        raise ValueError("pre-normalize rows and use IP for cosine")
+    b, d = q.shape
+    n = codes.shape[0]
+    kpad = tq_t.shape[0]
+    row_tile = min(row_tile, n)
+    if k > RANK_MERGE_MAX_K:
+        batch_tile = min(batch_tile, 64)
+    batch_tile = min(batch_tile, b)
+    if n % row_tile or b % batch_tile:
+        raise ValueError(f"pad shapes to tiles: n={n}%{row_tile}, b={b}%{batch_tile}")
+    if kpad < window:
+        raise ValueError(f"tq_t must be padded to >= window ({kpad} < {window})")
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    fn = _build_ivf_sq8_windowed(metric, k, b, n, d, kpad, row_tile,
+                                 batch_tile, window, interpret)
+    vals, idx = fn(tile_clo, q, codes, mins, scales, sqnorm, alive, crow, tq_t)
+    return _finish_topk(vals, idx, k)

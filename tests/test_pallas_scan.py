@@ -461,3 +461,101 @@ def test_high_dim_ivf_windowed_index():
     rb = b.search_batch(q, 10)
     for ha, hb in zip(ra, rb):
         assert [h.id for h in ha] == [h.id for h in hb]
+
+
+# ---- residual-SQ8 dense-mask IVF kernels ------------------------------------
+
+def _sq8res_fixture(n, b, d, kc, seed=21):
+    """Cluster-major corpus + residual-SQ8 encoding + random probe sets."""
+    rng = np.random.default_rng(seed)
+    x = rng.random((n, d), np.float32)
+    q = rng.random((b, d), np.float32)
+    lens = rng.multinomial(n, np.ones(kc) / kc)
+    crow = np.repeat(np.arange(kc, dtype=np.int32), lens)
+    cents = np.zeros((kc, d), np.float32)
+    for c in range(kc):
+        rows = x[crow == c]
+        if len(rows):
+            cents[c] = rows.mean(axis=0)
+    r = x - cents[crow]
+    mn = r.min(axis=1)
+    sc = np.maximum(r.max(axis=1) - mn, 1e-12) / 255.0
+    codes = np.clip(np.round((r - mn[:, None]) / sc[:, None]), 0, 255
+                    ).astype(np.uint8)
+    xhat = cents[crow] + mn[:, None] + sc[:, None] * codes.astype(np.float32)
+    sq = np.einsum("nd,nd->n", xhat, xhat).astype(np.float32)
+    alive = np.ones(n, bool)
+    alive[3:17] = False
+    probe = np.stack([
+        rng.choice(kc, size=min(5, kc), replace=False) for _ in range(b)
+    ]).astype(np.int32)
+    return x, q, crow, cents, codes, mn, sc, sq, xhat, alive, probe
+
+
+def _sq8res_ref(q, xhat, sq, crow, alive, probe, k, metric):
+    """Reference scores over the RECONSTRUCTION (the kernel's ground truth)."""
+    dots = q @ xhat.T
+    if metric == Metric.L2:
+        scores = -np.maximum(
+            (q * q).sum(1)[:, None] - 2 * dots + sq[None, :], 0)
+    else:
+        scores = dots
+    member = np.stack([np.isin(crow, probe[bi]) for bi in range(len(q))])
+    scores = np.where(member & alive[None, :], scores, -np.inf)
+    return scores, np.argsort(-scores, axis=1)[:, :k]
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.INNER_PRODUCT])
+def test_ivf_sq8_kernel_vs_numpy(metric):
+    from pyrope_tpu.ops.pallas_scan import MASK_SENT, pallas_ivf_sq8_topk
+
+    n, b, d, k, kc = 4096, 16, 32, 10, 24
+    (x, q, crow, cents, codes, mn, sc, sq, xhat, alive,
+     probe) = _sq8res_fixture(n, b, d, kc)
+    kp = 128
+    qc = q @ np.pad(cents, ((0, kp - kc), (0, 0))).T
+    tq = np.full((b, kp), MASK_SENT, np.float32)
+    tq[np.arange(b)[:, None], probe] = np.take_along_axis(qc, probe, axis=1)
+    vals, idx = pallas_ivf_sq8_topk(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(mn), jnp.asarray(sc),
+        jnp.asarray(sq), jnp.asarray(alive), jnp.asarray(crow),
+        jnp.asarray(tq), k, metric,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    scores, ref_idx = _sq8res_ref(q, xhat, sq, crow, alive, probe, k, metric)
+    for bi in range(b):
+        assert set(idx[bi]) == set(ref_idx[bi])
+    assert np.allclose(vals, np.take_along_axis(scores, idx, axis=1),
+                       rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("metric", [Metric.L2, Metric.INNER_PRODUCT])
+def test_ivf_sq8_windowed_kernel_vs_numpy(metric):
+    from pyrope_tpu.ops.pallas_scan import (
+        MASK_SENT,
+        pallas_ivf_sq8_topk_windowed,
+        padded_probe_width,
+        tile_cluster_windows,
+    )
+
+    n, b, d, k, kc = 16384, 16, 32, 10, 640  # kc > PALLAS_IVF_MAX_KPAD
+    (x, q, crow, cents, codes, mn, sc, sq, xhat, alive,
+     probe) = _sq8res_fixture(n, b, d, kc, seed=22)
+    kp = padded_probe_width(kc)
+    qc = q @ np.pad(cents, ((0, kp - kc), (0, 0))).T
+    tq_t = np.full((kp, b), MASK_SENT, np.float32)
+    tq_t[probe.T, np.arange(b)[None, :]] = np.take_along_axis(
+        qc, probe, axis=1).T
+    tile_clo, ok = tile_cluster_windows(crow, n, n, 4096, kpad=kp)
+    assert ok
+    vals, idx = pallas_ivf_sq8_topk_windowed(
+        jnp.asarray(q), jnp.asarray(codes), jnp.asarray(mn), jnp.asarray(sc),
+        jnp.asarray(sq), jnp.asarray(alive), jnp.asarray(crow),
+        jnp.asarray(tq_t), jnp.asarray(tile_clo), k, metric,
+    )
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    scores, ref_idx = _sq8res_ref(q, xhat, sq, crow, alive, probe, k, metric)
+    for bi in range(b):
+        assert set(idx[bi]) == set(ref_idx[bi])
+    assert np.allclose(vals, np.take_along_axis(scores, idx, axis=1),
+                       rtol=1e-4, atol=1e-4)
