@@ -7,9 +7,10 @@ multi-slice slice × data mesh (rows over both axes, top-k merged ICI-first
 then once per slice over DCN — mesh.make_mesh_multislice), per-shard top-k,
 all-gather merge ("sequence parallelism over the database axis", SURVEY
 §5.7/§5.8). Family coverage: Flat (fp32/bf16/sq8),
-IVF-Flat, IVF-PQ (with per-shard exact rerank), HNSW (replicated graph,
-query-sharded); Delta composes sharded halves (index/delta.py takes any
-two VectorIndex instances).
+IVF-Flat, IVF-PQ (with per-shard exact rerank), HNSW (replicated graph
+query-sharded, AND corpus-sharded: per-shard k-means cell sub-graphs so
+graph memory scales with the mesh); Delta composes sharded halves
+(index/delta.py takes any two VectorIndex instances).
 """
 
 from pyrope_tpu.parallel.mesh import (
@@ -19,7 +20,10 @@ from pyrope_tpu.parallel.mesh import (
     make_mesh_multislice,
 )
 from pyrope_tpu.parallel.sharded_flat import ShardedFlatIndex, sharded_kmeans_step
-from pyrope_tpu.parallel.sharded_hnsw import ShardedHnswIndex
+from pyrope_tpu.parallel.sharded_hnsw import (
+    ShardedHnswCorpusIndex,
+    ShardedHnswIndex,
+)
 from pyrope_tpu.parallel.sharded_ivf import ShardedIvfFlatIndex
 from pyrope_tpu.parallel.sharded_ivf_pq import ShardedIvfPqIndex
 
@@ -29,6 +33,7 @@ __all__ = [
     "make_mesh_2d",
     "make_mesh_multislice",
     "ShardedFlatIndex",
+    "ShardedHnswCorpusIndex",
     "ShardedHnswIndex",
     "ShardedIvfFlatIndex",
     "ShardedIvfPqIndex",
