@@ -649,6 +649,79 @@ class HnswIndex(VectorIndex):
         self._dirty = True
         return n
 
+    def relabel(self, order: str = "cluster", seed: int = 0) -> None:
+        """Permute node rows for beam-gather HBM locality (VERDICT r4 #6).
+
+        Search results are invariant (ids, scores, and even tie-order: the
+        graph is isomorphic and _row_ids moves with the rows); only the
+        physical row layout changes, so neighbor gathers in the layer-0
+        beam hit nearer HBM rows. Orders:
+          'cluster' — k-means cell-major (neighbors are overwhelmingly
+                      same-cell on clustered corpora; 128 cells, seed 42)
+          'bfs'     — breadth-first from the entry point over layer 0
+          'random'  — control arm for locality experiments
+        """
+        with self.lock:
+            n = self._count
+            if n <= 1:
+                return
+            if order == "cluster":
+                from pyrope_tpu.ops.kmeans import kmeans_build
+
+                metric = (Metric.L2 if self.metric == Metric.COSINE
+                          else self.metric)
+                kc = max(2, min(128, n // 64))
+                _, assign, _ = kmeans_build(
+                    self._vecs[:n], kc, metric, seed=42)
+                new_of_old = np.argsort(np.argsort(assign, kind="stable"))
+            elif order == "bfs":
+                adj = self._adj0[:n]
+                seen = np.zeros(n, bool)
+                out = []
+                from collections import deque
+
+                for start in ([max(self._entry, 0)] + list(range(n))):
+                    if seen[start]:
+                        continue
+                    dq = deque([start])
+                    seen[start] = True
+                    while dq:
+                        c = dq.popleft()
+                        out.append(c)
+                        for nb in adj[c]:
+                            if nb >= 0 and nb < n and not seen[nb]:
+                                seen[nb] = True
+                                dq.append(nb)
+                new_of_old = np.empty(n, np.int64)
+                new_of_old[np.array(out)] = np.arange(n)
+            elif order == "random":
+                new_of_old = np.random.default_rng(seed).permutation(n)
+            else:
+                raise ValueError(f"order must be cluster|bfs|random, got {order!r}")
+            old_of_new = np.argsort(new_of_old)
+
+            def remap_vals(a):
+                out = np.where(a >= 0, new_of_old[np.maximum(a, 0)], -1)
+                return out.astype(np.int32)
+
+            cap = self._vecs.shape[0]
+            for name in ("_vecs", "_alive", "_levels"):
+                arr = getattr(self, name)
+                arr[:n] = arr[:n][old_of_new]
+            self._adj0[:n] = remap_vals(self._adj0[:n][old_of_new])
+            for a in self._adj_up:
+                a[:n] = remap_vals(a[:n][old_of_new])
+            ids = [self._row_ids[int(r)] for r in old_of_new]
+            for new, rid in enumerate(ids):
+                self._row_ids[new] = rid
+                if rid is not None:
+                    self._id_to_row[rid] = new
+            for r in range(n, cap):
+                self._row_ids[r] = None
+            if self._entry >= 0:
+                self._entry = int(new_of_old[self._entry])
+            self._dirty = True
+
     def upsert(self, id: str, vector: np.ndarray) -> None:
         with self.lock:
             row = self._id_to_row.get(id)

@@ -118,8 +118,16 @@ def _bitonic_tile_topk(scores, base, kpad: int):
        O(k·(k+T)) (3.4k QPS at k=100 on 1M, VERDICT r3 #2)."""
     bt, t = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
-    v = scores
-    i = base + col
+    return _bitonic_sort_pairs(scores, base + col, kpad)
+
+
+def _bitonic_sort_pairs(v, i, kpad: int):
+    """Sorted-desc top-``kpad`` of (value, index) pairs [Bt, t] — the
+    bitonic network of ``_bitonic_tile_topk`` with EXPLICIT indices (the
+    chunked merge extracts per-chunk argmax columns, so candidate indices
+    are not contiguous). t, kpad powers of two; kpad <= t."""
+    bt, t = v.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
     size = 2
     while size <= kpad:
         if size < kpad:
@@ -256,6 +264,111 @@ def _tile_scores(q, x, sq, *, metric: Metric, promote_fp32: bool = False,
     return dots  # IP (cosine rows pre-normalized)
 
 
+MERGE_CHUNK = 128  # lane-chunk width of the multi-extraction merge
+
+# The scan kernels' scratch + temporaries brush the 16 MB default scoped-
+# vmem stack (the chunked merge's [Bt, nch, 128] loop state measured
+# 16.56 MB at Bt=128/T=4096; wide-k at Bt=128 measured 17-21 MB). v5e VMEM
+# is 128 MB and these kernels' pipeline buffers are ~10 MB, so a 40 MB
+# scoped stack is safe headroom. vmem_limit_bytes rides the custom call's
+# scoped_memory_configs; do NOT pass the xla_tpu_scoped_vmem_limit_kib
+# flag_configs entry — this libtpu's llo_region flag parser SIGABRTs on it
+# ("HLO backend flag value is not one of boolean, integer or double",
+# 2026-08-20).
+_SCOPED_VMEM_BYTES = 40 * 1024 * 1024
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    vmem_limit_bytes=_SCOPED_VMEM_BYTES,
+)
+
+# narrow-k merge strategy: "extract" (default) = the extract-max +
+# rank-merge path; "chunk" = per-chunk multi-extraction (below) — a
+# MEASURED DEAD END on hardware (2026-08-20 same-day A/B: 286.6 vs
+# 14.6 ms on 1M b1024, identical hit rows): its [Bt, nch, 128] loop state
+# lowers to degenerate Mosaic layouts (relayout per op). Kept for the
+# record + interpret-mode coverage. Module global (not a frozen env read)
+# so A/B probes can flip it; the _build* lru_caches do NOT key on it —
+# call .cache_clear() after flipping.
+NARROW_MERGE = _os.environ.get("PYROPE_NARROW_MERGE", "extract")
+
+
+def _merge_tile_chunked(run_v, run_i, scores, base, *, k: int):
+    """Narrow-k merge by per-chunk multi-extraction (VERDICT r4 #1).
+
+    The r3 extract-max path pays ~4 full-[Bt, T] passes PER EXTRACTED
+    ENTRY, and its dynamic round count is the max over the whole batch
+    tile — at b1024 the 128-query union makes nearly every tile merge and
+    the cold-start tiles pay k full rounds (measured: merge = 9.7 ms of
+    the 15.98 ms 1M b1024 kernel; scan floor 4.05 ms). Here one round
+    extracts the maxima of ALL t/128 lane-chunks at once:
+
+      1. cm[b, c] = max of chunk c (one reduce pass)
+      2. per-chunk argmax column (compare + min-reduce)
+      3. bitonic-sort the (cm, idx) candidates, keep top-kpad, one
+         sorted-list merge into the running scratch ([Bt, nch]-sized
+         vreg work — 1/128th of a tile pass)
+      4. column-mask the extracted entries (one pass)
+
+    so a round surfaces up to nch entries for ~4 tile passes, and the
+    EXACT round count is max over (query, chunk) of entries-beating-theta
+    per SINGLE chunk — ~1-2 on long scans (vs the per-TILE count the
+    extract path pays; only the cold first tile still needs up to k).
+    Scratch is kpad = next_pow2(k) wide and kept sorted desc (the wide-k
+    bitonic invariants; same flush contract).
+
+    Correctness: entries masked after a merge lost to the post-merge
+    kpad-th bound, which is monotone — they can never re-enter (same
+    argument as the extract-path gate). A chunk holding c entries above
+    the pre-merge theta surfaces one of them per round (its running max
+    beats theta until all c are out), so ``rounds = max per-chunk count``
+    extracts every possible contender exactly."""
+    bt, t = scores.shape
+    nch = t // MERGE_CHUNK
+    kpad = run_v.shape[1]
+    theta = run_v[:, k - 1 : k]                              # kth best
+    tile_max = jnp.max(scores, axis=1, keepdims=True)
+    need_merge = jnp.any(tile_max > theta)
+
+    @pl.when(need_merge)
+    def _():
+        s3 = scores.reshape(bt, nch, MERGE_CHUNK)
+        cnt = jnp.sum((s3 > theta[:, :, None]).astype(jnp.int32), axis=2)
+        rounds = jnp.minimum(jnp.max(cnt), k)                # exact trip
+        col3 = jax.lax.broadcasted_iota(
+            jnp.int32, (bt, nch, MERGE_CHUNK), 2)
+        chbase = base + jax.lax.broadcasted_iota(
+            jnp.int32, (bt, nch), 1) * MERGE_CHUNK
+
+        def body(_, s3c):
+            cm = jnp.max(s3c, axis=2)                        # [Bt, nch]
+            first = jnp.min(
+                jnp.where(s3c == cm[:, :, None], col3, MERGE_CHUNK), axis=2)
+            idx = jnp.where(cm > NEG_INF, chbase + first, -1)
+            ev, ei = _bitonic_sort_pairs(cm, idx, kpad)
+            _bitonic_list_merge(run_v, run_i, ev, ei, kpad)
+            return jnp.where(col3 == first[:, :, None], NEG_INF, s3c)
+
+        jax.lax.fori_loop(0, rounds, body, s3)
+
+
+def _narrow_params(k: int, row_tile: int) -> tuple[int, str]:
+    """(scratch width, merge mode) for k <= RANK_MERGE_MAX_K: the chunked
+    multi-extraction needs a power-of-two row tile of >= next_pow2(k)
+    128-lane chunks (every capacity-bucketed slab tile qualifies);
+    otherwise the extract-max + rank-merge path runs at exactly k slots."""
+    from pyrope_tpu.utils.shapes import next_pow2
+
+    kp = next_pow2(max(k, 2))
+    nch = row_tile // MERGE_CHUNK
+    if (
+        NARROW_MERGE == "chunk"
+        and row_tile % MERGE_CHUNK == 0
+        and (nch & (nch - 1)) == 0
+        and nch >= kp
+    ):
+        return kp, "chunk"
+    return k, "extract"
+
+
 def _wide_params(k: int, row_tile: int) -> tuple[int, bool]:
     """(scratch width, bitonic-eligible) for a kernel's running top-k.
 
@@ -274,7 +387,18 @@ def _wide_params(k: int, row_tile: int) -> tuple[int, bool]:
     return k, False
 
 
-def _merge_tile(run_v, run_i, scores, base, *, k: int, bitonic: bool = False):
+def _merge_params(k: int, row_tile: int) -> tuple[int, str]:
+    """(scratch width, merge mode) for a kernel's running top-k: narrow k
+    routes to the chunked multi-extraction when eligible (see
+    ``_narrow_params``), wide k to the bitonic network when the row tile
+    allows (``_wide_params``), else the extract-max fallbacks."""
+    if k <= RANK_MERGE_MAX_K:
+        return _narrow_params(k, row_tile)
+    kp, bitonic = _wide_params(k, row_tile)
+    return kp, ("bitonic" if bitonic else "extract")
+
+
+def _merge_tile(run_v, run_i, scores, base, *, k: int, merge: str = "extract"):
     """Merge a tile's masked scores into the [Bt, k] running top-k scratch.
     ``base`` is the tile's first corpus row: every kernel scores contiguous
     rows, so the index of an extracted element is just base + its column —
@@ -302,6 +426,10 @@ def _merge_tile(run_v, run_i, scores, base, *, k: int, bitonic: bool = False):
     Tie-breaking matches the original fused merge: existing run entries
     win ties against tile scores (rank counts `>=` for run), and within a
     tile the lowest row index wins (first-column argmax)."""
+    if merge == "chunk":
+        _merge_tile_chunked(run_v, run_i, scores, base, k=k)
+        return
+
     tile_max = jnp.max(scores, axis=1, keepdims=True)         # [Bt, 1]
     theta = run_v[:, k - 1 : k]                               # kth best per row
     need_merge = jnp.any(tile_max > theta)
@@ -312,7 +440,7 @@ def _merge_tile(run_v, run_i, scores, base, *, k: int, bitonic: bool = False):
         # only have landed beyond position k, never inside the final top-k
         @pl.when(need_merge)
         def _():
-            if bitonic:
+            if merge == "bitonic":
                 kpad = run_v.shape[1]
                 if not WIDE_DYN_EXTRACT:
                     _bitonic_merge_wide(run_v, run_i, scores, base, k=k,
@@ -369,24 +497,32 @@ def _extract_top(scores, base, n_rounds, *, k: int, unroll: bool):
     """Extract the tile's top entries as sorted-desc [Bt, k] lists.
 
     Consumes ``scores`` by rounds of (max, first-argmax, mask-out); the
-    extracted index is base + first-max column (contiguous rows). With
-    ``unroll`` the loop is k static rounds (pipelined); otherwise a
-    ``fori_loop`` of ``n_rounds`` (a traced scalar). Slots beyond the
-    extracted prefix stay (NEG_INF, -1)."""
+    extracted index is base + first-max column (contiguous rows). The LAST
+    round skips the mask-out — it feeds nobody, and at the measured ~1.7
+    rounds/tile (b1024, 1M) that is most rounds. (``jnp.argmax`` /
+    tpu.reduce_index was A/B'd for the argmax and measured NO faster than
+    where+min — 2026-08-20, mixed ±4-25%% per shape — so the explicit form
+    stays.) With ``unroll`` the loop is k static rounds (pipelined);
+    otherwise a ``fori_loop`` of ``n_rounds`` (a traced scalar). Slots
+    beyond the extracted prefix stay (NEG_INF, -1)."""
     bt, t = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
     colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
 
-    def body(j, carry):
-        sc, ext_v, ext_i = carry
+    def extract_one(j, sc, ext_v, ext_i):
         m = jnp.max(sc, axis=1, keepdims=True)                # [Bt, 1]
         # first column attaining the max
         first = jnp.min(jnp.where(sc == m, col, t), axis=1, keepdims=True)
-        sc = jnp.where(col == first, NEG_INF, sc)
         put = colk == j
         ext_v = jnp.where(put, jnp.broadcast_to(m, (bt, k)), ext_v)
         sel = jnp.where(m > NEG_INF, base + first, -1)
         ext_i = jnp.where(put, jnp.broadcast_to(sel, (bt, k)), ext_i)
+        return first, ext_v, ext_i
+
+    def body(j, carry):
+        sc, ext_v, ext_i = carry
+        first, ext_v, ext_i = extract_one(j, sc, ext_v, ext_i)
+        sc = jnp.where(col == first, NEG_INF, sc)
         return sc, ext_v, ext_i
 
     carry = (
@@ -395,11 +531,14 @@ def _extract_top(scores, base, n_rounds, *, k: int, unroll: bool):
         jnp.full((bt, k), -1, jnp.int32),
     )
     if unroll:
-        for j in range(k):
+        for j in range(k - 1):
             carry = body(j, carry)
+        last = k - 1
     else:
-        carry = jax.lax.fori_loop(0, n_rounds, body, carry)
-    return carry[1], carry[2]
+        carry = jax.lax.fori_loop(0, n_rounds - 1, body, carry)
+        last = n_rounds - 1
+    _, ext_v, ext_i = extract_one(last, carry[0], carry[1], carry[2])
+    return ext_v, ext_i
 
 
 def _rank_merge(run_v, run_i, ext_v, ext_i, *, k: int):
@@ -433,7 +572,7 @@ def _rank_merge(run_v, run_i, ext_v, ext_i, *, k: int):
 
 def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
                  run_v, run_i, *, k: int, metric: Metric, row_tile: int,
-                 bitonic: bool):
+                 merge: str):
     n_idx = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -448,7 +587,7 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
     rows = base + jax.lax.broadcasted_iota(jnp.int32, (1, row_tile), 1)
     mask = alive_ref[:][None, :] & (rows < ms_ref[0])
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+    _merge_tile(run_v, run_i, scores, base, k=k, merge=merge)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -464,9 +603,9 @@ def _scan_kernel(ms_ref, q_ref, x_ref, sq_ref, alive_ref, vals_ref, idx_ref,
 def _build(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
            x_dtype: str, row_tile: int, batch_tile: int, interpret: bool):
     grid = (b_pad // batch_tile, n_pad // row_tile)
-    kpad, bitonic = _wide_params(k, row_tile)
+    kpad, merge = _merge_params(k, row_tile)
     kernel = functools.partial(
-        _scan_kernel, k=k, metric=metric, row_tile=row_tile, bitonic=bitonic
+        _scan_kernel, k=k, metric=metric, row_tile=row_tile, merge=merge
     )
     return pl.pallas_call(
         kernel,
@@ -497,6 +636,7 @@ def _build(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
             pltpu.VMEM((batch_tile, kpad), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
 
@@ -579,7 +719,7 @@ def pallas_flat_topk(
 def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
                      vals_ref, idx_ref, run_v, run_i,
                      *, k: int, metric: Metric, row_tile: int,
-                     promote_fp32: bool, bitonic: bool):
+                     promote_fp32: bool, merge: str):
     """Flat-scan kernel + probe-membership mask (the dense IVF scan).
 
     A corpus row survives iff its cluster is in the query's probe set. The
@@ -618,7 +758,7 @@ def _ivf_scan_kernel(q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_ref,
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+    _merge_tile(run_v, run_i, scores, base, k=k, merge=merge)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -635,10 +775,10 @@ def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
                kpad: int, x_dtype: str, row_tile: int, batch_tile: int,
                promote_fp32: bool, interpret: bool):
     grid = (b_pad // batch_tile, n_pad // row_tile)
-    scratch_k, bitonic = _wide_params(k, row_tile)
+    scratch_k, merge = _merge_params(k, row_tile)
     kernel = functools.partial(
         _ivf_scan_kernel, k=k, metric=metric, row_tile=row_tile,
-        promote_fp32=promote_fp32, bitonic=bitonic,
+        promote_fp32=promote_fp32, merge=merge,
     )
     return pl.pallas_call(
         kernel,
@@ -672,6 +812,7 @@ def _build_ivf(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
             pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
 
@@ -746,7 +887,7 @@ def _ivf_scan_windowed_kernel(
     tile_clo_ref, q_ref, x_ref, sq_ref, alive_ref, crow_ref, probed_t_ref,
     vals_ref, idx_ref, run_v, run_i,
     *, k: int, metric: Metric, row_tile: int, window: int,
-    promote_fp32: bool, bitonic: bool,
+    promote_fp32: bool, merge: str,
 ):
     """Dense-mask IVF scan for WIDE cluster tables (kpad > ~512).
 
@@ -788,7 +929,7 @@ def _ivf_scan_windowed_kernel(
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+    _merge_tile(run_v, run_i, scores, base, k=k, merge=merge)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -807,10 +948,10 @@ def _build_ivf_windowed(
     promote_fp32: bool, interpret: bool,
 ):
     grid = (b_pad // batch_tile, n_pad // row_tile)
-    scratch_k, bitonic = _wide_params(k, row_tile)
+    scratch_k, merge = _merge_params(k, row_tile)
     kernel = functools.partial(
         _ivf_scan_windowed_kernel, k=k, metric=metric, row_tile=row_tile,
-        window=window, promote_fp32=promote_fp32, bitonic=bitonic,
+        window=window, promote_fp32=promote_fp32, merge=merge,
     )
     return pl.pallas_call(
         kernel,
@@ -845,6 +986,7 @@ def _build_ivf_windowed(
             pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
 
@@ -971,7 +1113,7 @@ def _tile_scores_sq8(q, codes, mins, scales, sq, sel, live, *, metric: Metric):
 def _ivf_sq8_scan_kernel(q_ref, x_ref, mn_ref, sc_ref, sq_ref, alive_ref,
                          crow_ref, tq_ref, vals_ref, idx_ref, run_v, run_i,
                          *, k: int, metric: Metric, row_tile: int,
-                         bitonic: bool):
+                         merge: str):
     n_idx = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -1002,7 +1144,7 @@ def _ivf_sq8_scan_kernel(q_ref, x_ref, mn_ref, sc_ref, sq_ref, alive_ref,
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+    _merge_tile(run_v, run_i, scores, base, k=k, merge=merge)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -1015,10 +1157,10 @@ def _build_ivf_sq8(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
                    kpad: int, row_tile: int, batch_tile: int,
                    interpret: bool):
     grid = (b_pad // batch_tile, n_pad // row_tile)
-    scratch_k, bitonic = _wide_params(k, row_tile)
+    scratch_k, merge = _merge_params(k, row_tile)
     kernel = functools.partial(
         _ivf_sq8_scan_kernel, k=k, metric=metric, row_tile=row_tile,
-        bitonic=bitonic,
+        merge=merge,
     )
     return pl.pallas_call(
         kernel,
@@ -1056,6 +1198,7 @@ def _build_ivf_sq8(metric: Metric, k: int, b_pad: int, n_pad: int, d: int,
             pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
 
@@ -1102,7 +1245,7 @@ def pallas_ivf_sq8_topk(
 def _ivf_sq8_scan_windowed_kernel(
     tile_clo_ref, q_ref, x_ref, mn_ref, sc_ref, sq_ref, alive_ref, crow_ref,
     tq_t_ref, vals_ref, idx_ref, run_v, run_i,
-    *, k: int, metric: Metric, row_tile: int, window: int, bitonic: bool,
+    *, k: int, metric: Metric, row_tile: int, window: int, merge: str,
 ):
     """Residual-SQ8 dense scan for WIDE cluster tables: the [window, Bt]
     band of the TRANSPOSED tq table replaces the full [Bt, Kp] operand
@@ -1136,7 +1279,7 @@ def _ivf_sq8_scan_windowed_kernel(
 
     base = n_idx * row_tile
     scores = jnp.where(mask, scores, NEG_INF)
-    _merge_tile(run_v, run_i, scores, base, k=k, bitonic=bitonic)
+    _merge_tile(run_v, run_i, scores, base, k=k, merge=merge)
 
     @pl.when(n_idx == n_tiles - 1)
     def _():
@@ -1150,10 +1293,10 @@ def _build_ivf_sq8_windowed(
     row_tile: int, batch_tile: int, window: int, interpret: bool,
 ):
     grid = (b_pad // batch_tile, n_pad // row_tile)
-    scratch_k, bitonic = _wide_params(k, row_tile)
+    scratch_k, merge = _merge_params(k, row_tile)
     kernel = functools.partial(
         _ivf_sq8_scan_windowed_kernel, k=k, metric=metric,
-        row_tile=row_tile, window=window, bitonic=bitonic,
+        row_tile=row_tile, window=window, merge=merge,
     )
     return pl.pallas_call(
         kernel,
@@ -1192,6 +1335,7 @@ def _build_ivf_sq8_windowed(
             pltpu.VMEM((batch_tile, scratch_k), jnp.int32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )
 
 

@@ -305,3 +305,41 @@ def test_early_exit_is_a_fixed_point():
     v2, r2 = fn2(*args)
     assert np.array_equal(np.asarray(r1), np.asarray(r2))
     assert np.allclose(np.asarray(v1), np.asarray(v2))
+
+
+class TestRelabel:
+    """relabel() permutes rows for gather locality; results must be
+    INVARIANT (isomorphic graph, _row_ids/_id_to_row move with the rows)."""
+
+    def _built(self, n=1200, dim=16):
+        import numpy as np
+
+        from pyrope_tpu import HnswIndex
+
+        rng = np.random.default_rng(3)
+        base = rng.random((n, dim), dtype=np.float32)
+        idx = HnswIndex(dim, "L2", m=8, ef_construction=64, ef_search=32)
+        idx.add_batch([str(i) for i in range(n)], base)
+        return idx, base, rng.random((16, dim), dtype=np.float32)
+
+    @pytest.mark.parametrize("order", ["cluster", "bfs", "random"])
+    def test_results_invariant(self, order):
+        idx, base, q = self._built()
+        before = [[(h.id, round(h.score, 5)) for h in r]
+                  for r in idx.search_batch(q, 10)]
+        idx.relabel(order)
+        after = [[(h.id, round(h.score, 5)) for h in r]
+                 for r in idx.search_batch(q, 10)]
+        assert before == after
+
+    def test_delete_upsert_after_relabel(self):
+        idx, base, q = self._built(n=400)
+        idx.relabel("cluster")
+        assert idx.search(base[7], 1)[0].id == "7"
+        assert idx.delete("7")
+        assert all(h.id != "7" for h in idx.search(base[7], 10))
+        idx.upsert("42", base[42] * 0.0 + 9.0)
+        import numpy as np
+
+        nv = np.full(16, 9.0, np.float32)
+        assert idx.search(nv, 1)[0].id == "42"
