@@ -497,14 +497,15 @@ def _extract_top(scores, base, n_rounds, *, k: int, unroll: bool):
     """Extract the tile's top entries as sorted-desc [Bt, k] lists.
 
     Consumes ``scores`` by rounds of (max, first-argmax, mask-out); the
-    extracted index is base + first-max column (contiguous rows). The LAST
-    round skips the mask-out — it feeds nobody, and at the measured ~1.7
-    rounds/tile (b1024, 1M) that is most rounds. (``jnp.argmax`` /
-    tpu.reduce_index was A/B'd for the argmax and measured NO faster than
-    where+min — 2026-08-20, mixed ±4-25%% per shape — so the explicit form
-    stays.) With ``unroll`` the loop is k static rounds (pipelined);
-    otherwise a ``fori_loop`` of ``n_rounds`` (a traced scalar). Slots
-    beyond the extracted prefix stay (NEG_INF, -1)."""
+    extracted index is base + first-max column (contiguous rows). The
+    DYNAMIC branch skips the last round's mask-out (it feeds nobody; at
+    the measured ~1.7 rounds/tile on 1M b1024 that is most rounds —
+    same-day A/B 14.64 -> 13.50 ms); the UNROLLED branch keeps the
+    uniform k-round body — hoisting its final round out of the static
+    loop broke Mosaic's software pipelining on candidate-dense scans
+    (ivf100k b4096 16.10 -> 17.21 ms A/B, reverted). ``jnp.argmax`` /
+    tpu.reduce_index for the argmax also measured no faster than
+    where+min. Slots beyond the extracted prefix stay (NEG_INF, -1)."""
     bt, t = scores.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (bt, t), 1)
     colk = jax.lax.broadcasted_iota(jnp.int32, (bt, k), 1)
@@ -531,13 +532,11 @@ def _extract_top(scores, base, n_rounds, *, k: int, unroll: bool):
         jnp.full((bt, k), -1, jnp.int32),
     )
     if unroll:
-        for j in range(k - 1):
+        for j in range(k):
             carry = body(j, carry)
-        last = k - 1
-    else:
-        carry = jax.lax.fori_loop(0, n_rounds - 1, body, carry)
-        last = n_rounds - 1
-    _, ext_v, ext_i = extract_one(last, carry[0], carry[1], carry[2])
+        return carry[1], carry[2]
+    carry = jax.lax.fori_loop(0, n_rounds - 1, body, carry)
+    _, ext_v, ext_i = extract_one(n_rounds - 1, carry[0], carry[1], carry[2])
     return ext_v, ext_i
 
 
